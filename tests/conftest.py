@@ -1,0 +1,57 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU backend.
+
+Must run before the first `import jax` anywhere in the test session so
+the platform flags take effect.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+def load_reference_standalone():
+    """Import the reference's standalone model file as a module.
+
+    Used ONLY to generate golden activations for parity tests — the
+    reference implementation never ships in this package. torchvision
+    is absent in this image, so it is stubbed before import (the model
+    code only touches torchvision.ops.batched_nms, which the parity
+    tests do not call).
+    """
+    import importlib.util
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.SimpleNamespace(batched_nms=None)
+        sys.modules["torchvision"] = tv
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    spec = importlib.util.spec_from_file_location(
+        "_ref_standalone", os.path.join(REFERENCE_DIR,
+                                        "generate_proposal.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
