@@ -1,0 +1,109 @@
+"""Detector training step: loss path + jitted update over a device mesh.
+
+Behavioral spec: reference YOLOWorldDetector.loss
+(wedetect/models/detectors/yolo_world.py:26-33) ->
+YOLOWorldHead.loss_by_feat (yolo_world_head.py:436-576), re-designed
+TPU-first:
+
+- ONE jitted step over the GLOBAL batch (pjit semantics). Gradients and
+  batch-norm statistics reduce over the global batch automatically —
+  XLA inserts the psums over ICI; no DDP/SyncBN wrappers, no
+  `x num_imgs x world_size` loss hack (we scale by global batch size,
+  which is the same quantity).
+- static shapes: gt boxes padded to cfg.train.max_gt_per_image with a
+  validity mask (the collate layer guarantees this).
+- text embeddings arrive precomputed ((B, K, C) or (K, C)); joint
+  text-tower training composes by swapping `w` for a TextTower apply
+  inside the loss fn.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from wedetect_tpu.configs import ModelCfg
+from wedetect_tpu.models.wedetect import WeDetectModule
+from wedetect_tpu.ops.boxes import distance2bbox
+from wedetect_tpu.ops.priors import flat_priors_and_strides
+from wedetect_tpu.train.assigner import assign
+from wedetect_tpu.train.losses import DetLosses, detection_loss
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, variables, tx):
+        return cls(step=jnp.zeros((), jnp.int32),
+                   params=variables["params"],
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(variables["params"]),
+                   tx=tx)
+
+
+class Batch(NamedTuple):
+    """Static-shape training batch (collate output)."""
+
+    images: jax.Array     # (B, H, W, 3) uint8 RGB (already letterboxed)
+    texts: jax.Array      # (B, K, C) or (K, C) text embeddings
+    gt_bboxes: jax.Array  # (B, G, 4) xyxy in input pixels, zero-padded
+    gt_labels: jax.Array  # (B, G) int32
+    gt_mask: jax.Array    # (B, G) bool
+
+
+def loss_fn(cfg: ModelCfg, params, batch_stats, batch: Batch
+            ) -> Tuple[jax.Array, Tuple[Any, DetLosses]]:
+    imgs = batch.images.astype(jnp.float32) / 255.0
+    out, mut = WeDetectModule(cfg).apply(
+        {"params": params, "batch_stats": batch_stats},
+        imgs, batch.texts if not cfg.num_prompts else None,
+        train=True, mutable=["batch_stats"])
+
+    priors, strides = flat_priors_and_strides(
+        cfg.feat_sizes(imgs.shape[1:3]), cfg.strides)
+    priors = jnp.asarray(priors)
+    strides = jnp.asarray(strides)
+    pred_bboxes = distance2bbox(
+        priors[None],
+        out.dists.astype(jnp.float32) * strides[None, :, None])
+
+    t = cfg.train
+    res = assign(pred_bboxes, jax.nn.sigmoid(out.logits), priors,
+                 batch.gt_labels, batch.gt_bboxes, batch.gt_mask,
+                 num_classes=out.logits.shape[-1], topk=t.tal_topk,
+                 alpha=t.tal_alpha, beta=t.tal_beta, eps=t.tal_eps)
+    losses = detection_loss(
+        cfg, out.logits, pred_bboxes, out.dist_logits, res.bboxes,
+        res.scores, res.fg_mask, priors, strides,
+        loss_scale=float(batch.images.shape[0]))
+    return losses.total, (mut["batch_stats"], losses)
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def train_step(cfg: ModelCfg, state: TrainState, batch: Batch
+               ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    grad_fn = jax.value_and_grad(
+        lambda p: loss_fn(cfg, p, state.batch_stats, batch),
+        has_aux=True)
+    (total, (new_stats, losses)), grads = grad_fn(state.params)
+    updates, new_opt = state.tx.update(grads, state.opt_state,
+                                       state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    metrics = {
+        "loss": total, "loss_cls": losses.cls, "loss_bbox": losses.bbox,
+        "loss_dfl": losses.dfl, "num_pos": losses.num_pos,
+        "grad_norm": optax.global_norm(grads),
+    }
+    return state.replace(step=state.step + 1, params=new_params,
+                         batch_stats=new_stats,
+                         opt_state=new_opt), metrics
