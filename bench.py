@@ -36,24 +36,38 @@ def main():
     wtxt = jnp.asarray(rng.standard_normal((k, cfg.embed_dims))
                        .astype(np.float32))
 
-    best = 0.0
-    batches = (1, 4, 8, 16) if on_tpu else (1,)
-    iters = 20 if on_tpu else 2
-    for b in batches:
-        imgs = jnp.asarray(rng.integers(0, 255, (b, h, w, 3))
-                           .astype(np.uint8))
+    def run_chained(b, iters):
+        """Serialized timing: iteration i's input depends on output
+        i-1, with ONE host readback at the end. This measures true
+        device time even on backends whose block_until_ready does not
+        synchronize (the tunneled axon transport here), and amortizes
+        the host<->device RTT over all iterations."""
+        imgs0 = jnp.asarray(rng.integers(0, 255, (b, h, w, 3))
+                            .astype(np.uint8))
         sf = jnp.ones((b, 2), jnp.float32)
         pad = jnp.zeros((b, 4), jnp.float32)
         ori = jnp.full((b, 2), float(h), jnp.float32)
-        try:
+
+        def step(imgs):
             det = detect_step(cfg, variables, imgs, wtxt, sf, pad, ori)
-            det.boxes.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                det = detect_step(cfg, variables, imgs, wtxt, sf, pad,
-                                  ori)
-            det.boxes.block_until_ready()
-            dt = (time.perf_counter() - t0) / iters
+            # 1-byte data dependency feeding the next iteration
+            tag = (det.scores[0, 0] * 0).astype(jnp.uint8)
+            return det, imgs0 + tag
+
+        det, imgs = step(imgs0)            # compile
+        _ = float(np.asarray(det.scores[0, 0]))  # sync warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            det, imgs = step(imgs)
+        _ = float(np.asarray(det.scores[0, 0]))  # sync end
+        return (time.perf_counter() - t0) / iters
+
+    best = 0.0
+    batches = (1, 4, 8, 16) if on_tpu else (1,)
+    iters = 30 if on_tpu else 2
+    for b in batches:
+        try:
+            dt = run_chained(b, iters)
             ips = b / dt
             print(f"# b={b}: {ips:.1f} img/s ({dt * 1e3:.1f} ms)",
                   file=sys.stderr)
