@@ -180,6 +180,23 @@ def forward_raw(cfg: ModelCfg, variables, images_u8, w=None
     return decode_outputs(cfg, out, images_u8.shape[1:3])
 
 
+def per_anchor_scale_bias(cfg: ModelCfg, variables,
+                          img_size: Optional[Tuple[int, int]] = None):
+    """Per-anchor (A,) logit_scale / bias vectors from the per-level
+    contrastive heads — stored with Uni proposals for retrieval
+    (reference: eval_recall/eval_recall.py:1334-1343 gathers these).
+    """
+    head = variables["params"]["head"]
+    sizes = cfg.feat_sizes(img_size)
+    scales, biases = [], []
+    for i, (h, w) in enumerate(sizes):
+        n = h * w
+        c = head[f"contrast{i}"]
+        scales.append(np.full((n,), float(c["logit_scale"]), np.float32))
+        biases.append(np.full((n,), float(c["bias"]), np.float32))
+    return np.concatenate(scales), np.concatenate(biases)
+
+
 def init_variables(cfg: ModelCfg, seed: int = 0):
     """Random-init variables (params + batch_stats)."""
     module = WeDetectModule(cfg)
