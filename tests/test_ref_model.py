@@ -1,0 +1,145 @@
+"""End-to-end parity: JAX WeDetect-Ref grounding model vs the
+reference torch implementation (tiny config, torchvision stubbed)."""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR, reference_available
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from test_roi_sine import np_roi_align  # noqa: E402
+from wedetect_tpu.ckpt.convert_ref import convert_ref_model  # noqa: E402
+from wedetect_tpu.models.ref import (RefModules, ref_score_step,  # noqa: E402
+                                     sigmoid_focal_loss)
+from wedetect_tpu.nn.qwen3vl import (RefCfg,  # noqa: E402
+                                     get_rope_index_single_image)
+
+pytestmark = pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted")
+
+
+def torch_roi_align_stub(feat, boxes, out, scale, **kw):
+    """torchvision.ops.roi_align replacement with fixed sampling
+    ratio 2 (matches the JAX kernel's static default)."""
+    res = []
+    for b in range(feat.shape[0]):
+        f = feat[b].permute(1, 2, 0).numpy()
+        r = np_roi_align(f, boxes[b].numpy(), out, scale, 2)
+        res.append(torch.tensor(r, dtype=feat.dtype).permute(0, 3, 1, 2))
+    return torch.cat(res)
+
+
+@pytest.fixture(scope="module")
+def ref_model():
+    if "torchvision" not in sys.modules or not hasattr(
+            sys.modules.get("torchvision", None), "ops"):
+        tv = types.ModuleType("torchvision")
+        tv.ops = types.SimpleNamespace(roi_align=torch_roi_align_stub)
+        sys.modules["torchvision"] = tv
+    else:
+        sys.modules["torchvision"].ops.roi_align = torch_roi_align_stub
+    spec = importlib.util.spec_from_file_location(
+        "_ref_qwen", REFERENCE_DIR
+        + "/wedetect_ref/models/qwen3vl_referring.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from transformers.models.qwen3_vl.configuration_qwen3_vl import (
+        Qwen3VLConfig)
+
+    vision = dict(depth=4, hidden_size=32, num_heads=4,
+                  intermediate_size=64, patch_size=4,
+                  temporal_patch_size=2, in_channels=3,
+                  spatial_merge_size=2, out_hidden_size=48,
+                  num_position_embeddings=64,
+                  deepstack_visual_indexes=[1, 2])
+    text = dict(vocab_size=128, hidden_size=48, num_hidden_layers=2,
+                num_attention_heads=4, num_key_value_heads=2,
+                head_dim=16, intermediate_size=96,
+                rope_theta=1000.0, max_position_embeddings=512,
+                rope_scaling={"rope_type": "default",
+                              "mrope_section": [4, 2, 2],
+                              "mrope_interleaved": True})
+    cfg = Qwen3VLConfig(vision_config=vision, text_config=text,
+                        image_token_id=120, video_token_id=121,
+                        vision_start_token_id=122)
+    torch.manual_seed(1)
+    model = mod.Qwen3VLGroundingForConditionalGeneration(cfg)
+    model.model.object_token_id = 123
+    model.eval()
+    # the reference defaults generate_coordinate(device='cuda');
+    # redirect to cpu for the golden run
+    orig = model.model.generate_coordinate
+    model.model.generate_coordinate = (
+        lambda fm, device="cpu": orig(fm, device))
+    return cfg, model, mod
+
+
+def test_ref_grounding_parity(ref_model, rng):
+    hf_cfg, model, mod = ref_model
+    cfg = RefCfg.from_hf_config(hf_cfg)
+    gh, gw = 8, 12          # patch grid -> merged 4x6 = 24 img tokens
+    n_img = (gh // 2) * (gw // 2)
+    n_obj = 3
+    ow, oh = 100.0, 60.0     # original image (width, height)
+
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[5, 5, 50, 40], [20, 10, 90, 55],
+                      [0, 0, 100, 60]], np.float32)
+
+    ids = np.concatenate([
+        np.array([1, 2, 122]), np.full(n_img, 120),
+        np.array([9, 8]), np.full(n_obj, 123), np.array([2])])
+    l = len(ids)
+    visual_start = 3
+    input_ids = np.stack([ids, ids])
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.ones(2, l, dtype=torch.long),
+            pixel_values=torch.tensor(
+                np.concatenate([patches, patches])),
+            image_grid_thw=torch.tensor([[1, gh, gw]] * 2,
+                                        dtype=torch.long),
+            bboxes=[boxes.tolist(), boxes.tolist()],
+            ori_shapes=[(ow, oh), (ow, oh)],
+            bboxes_id=123,
+        )
+    want = out.logits[..., 0].numpy()
+    obj_pos = np.nonzero(input_ids[0] == 123)[0]
+    want_obj = want[:, obj_pos]
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_ref_model(sd, cfg)
+    pos = get_rope_index_single_image(ids, 120, gh, gw, 2)
+    pos_ids = np.broadcast_to(pos[:, None, :], (3, 2, l))
+    got = ref_score_step(
+        cfg, gh, gw, params, jnp.asarray(patches),
+        jnp.asarray(input_ids.astype(np.int32)),
+        jnp.asarray(np.ones((2, l), np.int32)),
+        jnp.asarray(pos_ids.astype(np.int32)), visual_start,
+        jnp.asarray(boxes), jnp.asarray(np.array([ow, oh], np.float32)),
+        jnp.asarray(np.broadcast_to(obj_pos[None], (2, n_obj))
+                    .astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), want_obj, rtol=2e-3,
+                               atol=2e-3)
+
+
+def test_focal_loss_parity(ref_model, rng):
+    _, _, mod = ref_model
+    logits = rng.standard_normal(12).astype(np.float32)
+    targets = (rng.uniform(size=12) > 0.6).astype(np.float32)
+    want = mod.sigmoid_focal_loss(
+        torch.tensor(logits), torch.tensor(targets), 5.0).item()
+    got = float(sigmoid_focal_loss(jnp.asarray(logits),
+                                   jnp.asarray(targets)))
+    assert got == pytest.approx(want, rel=1e-5)

@@ -1,0 +1,91 @@
+"""Tests for roi_align and sine position embeddings."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import load_reference_standalone, reference_available
+from wedetect_tpu.ops.roi_align import roi_align
+from wedetect_tpu.ops.sine_embed import box_xyxy_to_cxcywh, sine_embed
+
+
+def np_roi_align(feat, rois, out, scale, ratio):
+    """Independent numpy oracle of the published RoIAlign algorithm
+    (aligned=False, average pooling)."""
+    h, w, c = feat.shape
+
+    def bil(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c)
+        y = min(max(y, 0.0), h - 1)
+        x = min(max(x, 0.0), w - 1)
+        y0, x0 = int(np.floor(y)), int(np.floor(x))
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        ly, lx = y - y0, x - x0
+        return ((1 - ly) * (1 - lx) * feat[y0, x0]
+                + (1 - ly) * lx * feat[y0, x1]
+                + ly * (1 - lx) * feat[y1, x0]
+                + ly * lx * feat[y1, x1])
+
+    res = np.zeros((len(rois), out, out, c))
+    for n, (x1, y1, x2, y2) in enumerate(rois):
+        x1, y1, x2, y2 = (v * scale for v in (x1, y1, x2, y2))
+        rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+        bw, bh = rw / out, rh / out
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(c)
+                for iy in range(ratio):
+                    for ix in range(ratio):
+                        sy = y1 + (i + (iy + 0.5) / ratio) * bh
+                        sx = x1 + (j + (ix + 0.5) / ratio) * bw
+                        acc += bil(sy, sx)
+                res[n, i, j] = acc / (ratio * ratio)
+    return res
+
+
+def test_roi_align_matches_oracle(rng):
+    feat = rng.standard_normal((12, 16, 5)).astype(np.float32)
+    rois = np.array([
+        [8.0, 4.0, 40.0, 30.0],
+        [0.0, 0.0, 64.0, 48.0],
+        [10.0, 10.0, 11.0, 11.0],   # tiny roi (clamped to size 1)
+        [-5.0, -5.0, 20.0, 20.0],   # partially outside
+    ], np.float32)
+    for scale in (1.0, 0.25):
+        want = np_roi_align(feat, rois, 7, scale, 2)
+        got = roi_align(jnp.asarray(feat), jnp.asarray(rois), 7,
+                        spatial_scale=scale, sampling_ratio=2)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                                   atol=1e-5)
+
+
+@pytest.mark.skipif(not reference_available(), reason="no reference")
+def test_sine_embed_parity(rng):
+    torch = pytest.importorskip("torch")
+    import importlib.util
+    import os
+    import sys
+    import types
+
+    # import only the helper functions from the reference Ref model
+    # without transformers: execute the first 50 lines
+    src_path = "/root/reference/wedetect_ref/models/qwen3vl_referring.py"
+    src = open(src_path).read().split("def box_xyxy_to_cxcywh")[0]
+    src = src[src.index("def gen_sineembed_for_position"):]
+    ns = {"torch": torch, "math": __import__("math")}
+    exec(src, ns)  # noqa: S102 — test-only golden generation
+    gen = ns["gen_sineembed_for_position"]
+
+    for ncoord, dim in ((2, 64), (4, 128), (4, 2048)):
+        pos = rng.uniform(0, 1, (6, ncoord)).astype(np.float32)
+        want = gen(torch.tensor(pos), dim).numpy()
+        got = np.asarray(sine_embed(jnp.asarray(pos), dim))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_box_convert():
+    b = jnp.asarray(np.array([[0.0, 0.0, 4.0, 8.0]], np.float32))
+    np.testing.assert_allclose(np.asarray(box_xyxy_to_cxcywh(b)),
+                               [[2, 4, 4, 8]])

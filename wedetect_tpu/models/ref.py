@@ -1,0 +1,260 @@
+"""WeDetect-Ref: Qwen3-VL-based referring-expression proposal scorer.
+
+Behavioral spec: reference
+wedetect_ref/models/qwen3vl_referring.py:97-452
+(Qwen3VLModelGrounding / Qwen3VLGroundingForConditionalGeneration):
+
+- ViT emits 3 scales: final merged embeds + the last two deepstack
+  taps; ConvTranspose up-projections build a stride-8/16/32 pyramid
+- proposals are RoI-aligned 7x7 at each scale, channel-concatenated,
+  merged, projected (flatten for <=4000 hidden; mean-pool for larger),
+  plus a sine embedding of the normalized cxcywh box
+- image tokens additionally get a 2-D sine position embedding
+  (grid/size + 0.5 — replicated exactly, including the +0.5)
+- object features are scattered into the <object> token slots; ONE
+  prefill scores every proposal via a binary head (out_proj,
+  prior-prob bias init) at the <object> positions
+- training loss: sigmoid focal (alpha .25, gamma 2), mean, scaled by
+  mean/positive-count (all-reduced across data parallelism)
+
+TPU design: the vision tower runs ONCE per image; queries batch as
+(B, L) rows sharing the image (the reference loops one forward per
+query — eval.py:1554-1585; batching here is the free win called out in
+SURVEY §7.8). All shapes static: patch grid, sequence length, proposal
+count are bucketed compile-time constants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from wedetect_tpu.nn.qwen3vl import (Embedder, RefCfg, TextModel,
+                                     VisionModel)
+from wedetect_tpu.ops.roi_align import roi_align
+from wedetect_tpu.ops.sine_embed import box_xyxy_to_cxcywh, sine_embed
+
+Dtype = Any
+
+
+class Mlp2xGelu(nn.Module):
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc0")(x)
+        x = jax.nn.gelu(x.astype(jnp.float32),
+                        approximate=False).astype(self.dtype)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc1")(x)
+
+
+class ConvT2x(nn.Module):
+    """ConvTranspose2d k=2 s=2 with torch-layout params (in, out, 2, 2)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (c, self.out_ch, 2, 2), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.out_ch,), jnp.float32)
+        k = kernel.astype(self.dtype).reshape(c, self.out_ch * 4)
+        y = jnp.einsum("hwc,ck->hwk", x.astype(self.dtype), k)
+        y = y.reshape(h, w, self.out_ch, 2, 2)
+        y = y.transpose(0, 3, 1, 4, 2).reshape(h * 2, w * 2, self.out_ch)
+        return y + bias.astype(self.dtype)
+
+
+class GroundingExtras(nn.Module):
+    """The reference's added modules around the Qwen3-VL trunk."""
+
+    cfg: RefCfg
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        d = self.cfg.text.hidden
+        self.image_pos_projector = Mlp2xGelu(d, dtype=self.dtype,
+                                             name="image_pos_projector")
+        self.object_vision_projector = Mlp2xGelu(
+            d, dtype=self.dtype, name="object_vision_projector")
+        self.object_pos_projector = Mlp2xGelu(
+            d, dtype=self.dtype, name="object_pos_projector")
+        self.first_scale_conv1 = ConvT2x(d // 2, dtype=self.dtype,
+                                         name="first_scale_conv1")
+        self.first_scale_conv2 = ConvT2x(d // 4, dtype=self.dtype,
+                                         name="first_scale_conv2")
+        self.second_scale_conv = ConvT2x(d // 2, dtype=self.dtype,
+                                         name="second_scale_conv")
+        self.first_scale_norm = nn.LayerNorm(
+            epsilon=1e-5, dtype=jnp.float32, name="first_scale_norm")
+        self.merge = nn.Dense(d, dtype=self.dtype, name="merge")
+        self.out_proj = nn.Dense(
+            1, dtype=jnp.float32,
+            bias_init=nn.initializers.constant(
+                -float(np.log((1 - 0.01) / 0.01))),
+            name="out_proj")
+
+    def first_scale_norm_gelu(self, x):
+        return jax.nn.gelu(
+            self.first_scale_norm(x).astype(jnp.float32),
+            approximate=False).astype(self.dtype)
+
+    def __call__(self):  # parameters materialize via setup
+        raise NotImplementedError
+
+    def build_pyramid(self, scale1, scale2, scale3):
+        """taps/embeds reshaped (H, W, D) -> stride-8/16/32 maps."""
+        s1 = self.first_scale_conv1(scale1)
+        s1 = self.first_scale_norm_gelu(s1)
+        s1 = self.first_scale_conv2(s1)          # (4H, 4W, D/4)
+        s2 = self.second_scale_conv(scale2)       # (2H, 2W, D/2)
+        return s1, s2, scale3                     # strides 8/16/32
+
+    def object_feats(self, s1, s2, s3, boxes_32):
+        """boxes in the (W*32, H*32) coordinate space -> (N, D)."""
+        r1 = roi_align(s1, boxes_32, 7, 1.0 / 8)
+        r2 = roi_align(s2, boxes_32, 7, 1.0 / 16)
+        r3 = roi_align(s3, boxes_32, 7, 1.0 / 32)
+        roi = jnp.concatenate([r1, r2, r3], axis=-1)
+        roi = self.merge(roi.astype(self.dtype))          # (N, 7, 7, D)
+        d = self.cfg.text.hidden
+        if d > 4000:
+            roi = roi.reshape(roi.shape[0], 49, d).mean(axis=1)
+            roi = self.object_vision_projector(roi)
+        else:
+            roi = self.object_vision_projector(
+                roi.reshape(roi.shape[0], 49 * d))
+        h, w, _ = s3.shape
+        norm = jnp.asarray([w * 32.0, h * 32.0, w * 32.0, h * 32.0],
+                           jnp.float32)
+        box_coor = box_xyxy_to_cxcywh(boxes_32) / norm
+        pos = self.object_pos_projector(
+            sine_embed(box_coor, d).astype(self.dtype))
+        return roi + pos
+
+    def image_pos(self, grid_h: int, grid_w: int):
+        """Sine pos embeds for the merged image tokens.
+
+        Matches generate_coordinate(...) + 0.5
+        (reference qwen3vl_referring.py:143-152, 225-226): x/W + 0.5.
+        """
+        d = self.cfg.text.hidden
+        xs = (np.arange(grid_w, dtype=np.float32) / grid_w) + 0.5
+        ys = (np.arange(grid_h, dtype=np.float32) / grid_h) + 0.5
+        xx, yy = np.meshgrid(xs, ys)
+        coor = jnp.asarray(np.stack([xx.reshape(-1), yy.reshape(-1)],
+                                    -1))
+        return self.image_pos_projector(
+            sine_embed(coor, d).astype(self.dtype))
+
+    def score(self, hidden):
+        return self.out_proj(hidden.astype(jnp.float32))[..., 0]
+
+
+class RefModules(nn.Module):
+    """All four trees under one flax module for a single apply()."""
+
+    cfg: RefCfg
+    grid_h: int
+    grid_w: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.vision = VisionModel(self.cfg.vision, grid_h=self.grid_h,
+                                  grid_w=self.grid_w, dtype=self.dtype,
+                                  name="vision")
+        self.text = TextModel(self.cfg.text, dtype=self.dtype,
+                              name="text")
+        self.embed = Embedder(self.cfg.text, dtype=self.dtype,
+                              name="embed")
+        self.extras = GroundingExtras(self.cfg, dtype=self.dtype,
+                                      name="extras")
+
+    def __call__(self, patches, input_ids, attn_mask, position_ids,
+                 boxes_xyxy, ori_wh, visual_start: int,
+                 object_positions):
+        """Score proposals for a batch of query sequences.
+
+        patches: (S, C*t*p*p) ONE image; input_ids/attn_mask: (B, L);
+        position_ids: (3, B, L); boxes_xyxy: (N, 4) in original image
+        coords; ori_wh: (2,) (width, height); object_positions: (B, N)
+        indices of the <object> slots. Returns (B, N) logits.
+        """
+        c = self.cfg
+        m = c.vision.merge
+        mh, mw = self.grid_h // m, self.grid_w // m
+        d = c.text.hidden
+
+        img_embeds, taps = self.vision(patches)     # (V, D), taps
+        scale3 = img_embeds.reshape(mh, mw, d)
+        scale2 = taps[-1].reshape(mh, mw, d)
+        scale1 = taps[-2].reshape(mh, mw, d)
+        s1, s2, s3 = self.extras.build_pyramid(scale1, scale2, scale3)
+
+        # boxes: original -> (W*32, H*32) space
+        # (reference qwen3vl_referring.py:217 — ori_shape is (w, h))
+        norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
+                           jnp.float32)
+        ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
+        boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
+        obj = self.extras.object_feats(s1, s2, s3, boxes_32)  # (N, D)
+
+        img_tokens = img_embeds + self.extras.image_pos(mh, mw)
+
+        x = self.embed(input_ids)                    # (B, L, D)
+        b, l, _ = x.shape
+        v = img_tokens.shape[0]
+        # scatter image tokens at the (shared, static) visual span
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, jnp.broadcast_to(img_tokens[None].astype(x.dtype),
+                                (b, v, d)),
+            visual_start, axis=1)
+        # scatter object features at per-row positions
+        bidx = jnp.arange(b)[:, None]
+        x = x.at[bidx, object_positions].set(
+            jnp.broadcast_to(obj[None].astype(x.dtype),
+                             (b,) + obj.shape))
+
+        hidden = self.text(x, position_ids, attn_mask,
+                           deepstack_embeds=list(taps),
+                           visual_start=visual_start)
+        logits = self.extras.score(hidden)           # (B, L)
+        return jnp.take_along_axis(logits, object_positions, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8))
+def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                   patches, input_ids, attn_mask, position_ids,
+                   visual_start: int, boxes_xyxy, ori_wh,
+                   object_positions):
+    """Jitted REC scoring: (B, N) proposal logits."""
+    return RefModules(cfg, grid_h, grid_w).apply(
+        {"params": params}, patches, input_ids, attn_mask,
+        position_ids, boxes_xyxy, ori_wh, visual_start,
+        object_positions)
+
+
+def sigmoid_focal_loss(logits: jax.Array, targets: jax.Array,
+                       alpha: float = 0.25,
+                       gamma: float = 2.0) -> jax.Array:
+    """Reference qwen3vl_referring.py:69-91: alpha-weighted focal
+    terms, MEAN-reduced. (The reference computes an all-reduced
+    positive count at the call site — :440-445 — but its focal
+    function ignores that argument and returns the plain mean;
+    replicated faithfully.)"""
+    p = jax.nn.sigmoid(logits)
+    ce = (jnp.maximum(logits, 0) - logits * targets
+          + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+    p_t = p * targets + (1 - p) * (1 - targets)
+    loss = ce * ((1 - p_t) ** gamma)
+    alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
+    return (alpha_t * loss).mean()

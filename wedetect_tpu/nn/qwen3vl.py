@@ -1,0 +1,420 @@
+"""Qwen3-VL in JAX/flax: ViT with deepstack taps + Qwen3 decoder (MRoPE).
+
+Behavioral spec: the published Qwen3-VL architecture (HF transformers
+qwen3_vl modeling, which the reference extends in
+wedetect_ref/models/qwen3vl_referring.py):
+
+Vision tower
+- patch embed: Conv3d (t=2, p=16) over flattened patches == one matmul
+- learned 48x48 pos-embed table, bilinearly interpolated to the grid
+- blocks: LN -> full attention with 2-D rotary (row/col freqs over
+  head_dim/2, duplicated) -> LN -> MLP (gelu-tanh)
+- patch merger (2x2 spatial merge -> LN -> fc1 -> GELU -> fc2) for the
+  final output AND one post-shuffle-norm merger per deepstack tap layer
+
+Text tower (Qwen3)
+- RMSNorm everywhere (eps 1e-6), per-head-dim q/k RMSNorm, GQA,
+  SwiGLU MLP, no biases
+- interleaved MRoPE: 3-axis (t,h,w) position ids; frequency lanes
+  interleaved [t h w t h w ...] within the first 3*section lanes
+- deepstack: visual features from tap layers are ADDED to the hidden
+  states after decoder layers 0..n_taps-1 at the visual token span
+
+TPU design: single-image sequences with a STATIC (h, w) patch grid and
+static visual-span offset — the REC workload (one image + padded text,
+scored in one prefill, no decoding). Batched queries share the image:
+the vision tower runs once, the decoder runs over (B, L).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RefVisionCfg:
+    depth: int = 24
+    hidden: int = 1024
+    heads: int = 16
+    intermediate: int = 4096
+    patch: int = 16
+    temporal_patch: int = 2
+    in_ch: int = 3
+    merge: int = 2
+    out_hidden: int = 2048
+    num_pos_emb: int = 2304  # 48 * 48
+    deepstack_idx: Tuple[int, ...] = (5, 11, 17)
+
+    @property
+    def head_dim(self):
+        return self.hidden // self.heads
+
+
+@dataclasses.dataclass(frozen=True)
+class RefTextCfg:
+    vocab_size: int = 151936
+    hidden: int = 2048
+    layers: int = 28
+    heads: int = 16
+    kv_heads: int = 8
+    head_dim: int = 128
+    intermediate: int = 6144
+    rms_eps: float = 1e-6
+    rope_theta: float = 5e6
+    mrope_section: Tuple[int, int, int] = (24, 20, 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class RefCfg:
+    vision: RefVisionCfg = RefVisionCfg()
+    text: RefTextCfg = RefTextCfg()
+    image_token_id: int = 151655
+    vision_start_token_id: int = 151652
+    object_token_id: int = 151665
+
+    @classmethod
+    def from_hf_config(cls, hf) -> "RefCfg":
+        """Build from a transformers Qwen3VLConfig."""
+        v, t = hf.vision_config, hf.text_config
+        return cls(
+            vision=RefVisionCfg(
+                depth=v.depth, hidden=v.hidden_size,
+                heads=v.num_heads, intermediate=v.intermediate_size,
+                patch=v.patch_size, temporal_patch=v.temporal_patch_size,
+                in_ch=v.in_channels, merge=v.spatial_merge_size,
+                out_hidden=v.out_hidden_size,
+                num_pos_emb=v.num_position_embeddings,
+                deepstack_idx=tuple(v.deepstack_visual_indexes)),
+            text=RefTextCfg(
+                vocab_size=t.vocab_size, hidden=t.hidden_size,
+                layers=t.num_hidden_layers, heads=t.num_attention_heads,
+                kv_heads=t.num_key_value_heads,
+                head_dim=getattr(t, "head_dim",
+                                 t.hidden_size // t.num_attention_heads),
+                intermediate=t.intermediate_size,
+                rms_eps=t.rms_norm_eps, rope_theta=t.rope_theta,
+                mrope_section=tuple(
+                    t.rope_scaling["mrope_section"])),
+            image_token_id=hf.image_token_id,
+            vision_start_token_id=hf.vision_start_token_id,
+        )
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones,
+                           (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * scale).astype(self.dtype)
+
+
+def _rotate_half(x):
+    h = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., h:], x[..., :h]], axis=-1)
+
+
+def _apply_rope(q, k, cos, sin):
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    cos, sin = cos.astype(jnp.float32), sin.astype(jnp.float32)
+    qe = qf * cos + _rotate_half(qf) * sin
+    ke = kf * cos + _rotate_half(kf) * sin
+    return qe.astype(q.dtype), ke.astype(k.dtype)
+
+
+# --------------------------------------------------------------- vision
+
+
+def vision_pos_ids(grid_h: int, grid_w: int, merge: int) -> np.ndarray:
+    """(S, 2) (row, col) ids in merge-permuted token order."""
+    mh, mw = grid_h // merge, grid_w // merge
+    rows = (np.arange(mh)[:, None, None, None] * merge
+            + np.arange(merge)[None, None, :, None])
+    cols = (np.arange(mw)[None, :, None, None] * merge
+            + np.arange(merge)[None, None, None, :])
+    rows = np.broadcast_to(rows, (mh, mw, merge, merge)).reshape(-1)
+    cols = np.broadcast_to(cols, (mh, mw, merge, merge)).reshape(-1)
+    return np.stack([rows, cols], -1)
+
+
+def vision_pos_interp(grid_h: int, grid_w: int, side: int, merge: int):
+    """Static bilinear gather (indices (4, S), weights (4, S)) for the
+    learned pos-embed table, in merge-permuted token order."""
+    h_idx = np.linspace(0, side - 1, grid_h)
+    w_idx = np.linspace(0, side - 1, grid_w)
+    hf, wf = h_idx.astype(np.int64), w_idx.astype(np.int64)
+    hc = np.clip(hf + 1, None, side - 1)
+    wc = np.clip(wf + 1, None, side - 1)
+    dh, dw = h_idx - hf, w_idx - wf
+    idx = np.stack([
+        (hf[:, None] * side + wf[None, :]).reshape(-1),
+        (hf[:, None] * side + wc[None, :]).reshape(-1),
+        (hc[:, None] * side + wf[None, :]).reshape(-1),
+        (hc[:, None] * side + wc[None, :]).reshape(-1),
+    ])
+    wgt = np.stack([
+        ((1 - dh)[:, None] * (1 - dw)[None, :]).reshape(-1),
+        ((1 - dh)[:, None] * dw[None, :]).reshape(-1),
+        (dh[:, None] * (1 - dw)[None, :]).reshape(-1),
+        (dh[:, None] * dw[None, :]).reshape(-1),
+    ])
+    # permute flat (h*w) order into merge-block token order
+    mh, mw = grid_h // merge, grid_w // merge
+    perm = (np.arange(grid_h * grid_w)
+            .reshape(mh, merge, mw, merge)
+            .transpose(0, 2, 1, 3).reshape(-1))
+    return idx[:, perm], wgt[:, perm]
+
+
+class VisionBlock(nn.Module):
+    cfg: RefVisionCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin):
+        c = self.cfg
+        s, _ = x.shape
+        h, d = c.heads, c.head_dim
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         name="norm1")(x).astype(self.dtype)
+        qkv = nn.Dense(3 * c.hidden, dtype=self.dtype, name="qkv")(y)
+        q, k, v = (t.reshape(s, h, d)
+                   for t in jnp.split(qkv, 3, axis=-1))
+        q, k = _apply_rope(q, k, cos[:, None, :], sin[:, None, :])
+        attn = jnp.einsum("qhd,khd->hqk", q, k).astype(jnp.float32)
+        attn = jax.nn.softmax(attn / math.sqrt(d), axis=-1)
+        o = jnp.einsum("hqk,khd->qhd", attn.astype(self.dtype), v)
+        o = nn.Dense(c.hidden, dtype=self.dtype,
+                     name="proj")(o.reshape(s, c.hidden))
+        x = x + o
+        y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                         name="norm2")(x).astype(self.dtype)
+        y = nn.Dense(c.intermediate, dtype=self.dtype, name="fc1")(y)
+        y = jax.nn.gelu(y.astype(jnp.float32),
+                        approximate=True).astype(self.dtype)
+        y = nn.Dense(c.hidden, dtype=self.dtype, name="fc2")(y)
+        return x + y
+
+
+class PatchMerger(nn.Module):
+    cfg: RefVisionCfg
+    postshuffle: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        m2 = c.merge ** 2
+        if self.postshuffle:
+            x = x.reshape(-1, c.hidden * m2)
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="norm")(x).astype(self.dtype)
+        else:
+            x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
+                             name="norm")(x).astype(self.dtype)
+            x = x.reshape(-1, c.hidden * m2)
+        x = nn.Dense(c.hidden * m2, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x.astype(jnp.float32),
+                        approximate=False).astype(self.dtype)
+        return nn.Dense(c.out_hidden, dtype=self.dtype, name="fc2")(x)
+
+
+class VisionModel(nn.Module):
+    """Single image, static grid. patches (S, in_ch*t*p*p) ->
+    (merged (S/m^2, out_hidden), deepstack list of same)."""
+
+    cfg: RefVisionCfg
+    grid_h: int = 16
+    grid_w: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, patches):
+        c = self.cfg
+        x = nn.Dense(c.hidden, dtype=self.dtype,
+                     name="patch_embed")(patches.astype(self.dtype))
+        side = int(c.num_pos_emb ** 0.5)
+        idx, wgt = vision_pos_interp(self.grid_h, self.grid_w, side,
+                                     c.merge)
+        table = self.param("pos_embed", nn.initializers.normal(0.02),
+                           (c.num_pos_emb, c.hidden), jnp.float32)
+        pos = jnp.einsum("ksd,ks->sd", table[jnp.asarray(idx)],
+                         jnp.asarray(wgt, jnp.float32))
+        x = x + pos.astype(self.dtype)
+
+        ids = vision_pos_ids(self.grid_h, self.grid_w, c.merge)
+        dim = c.head_dim // 4
+        inv = 1.0 / (10000.0 ** (np.arange(0, dim * 2, 2,
+                                           dtype=np.float64) / (dim * 2)))
+        freqs = np.concatenate([ids[:, 0:1] * inv[None],
+                                ids[:, 1:2] * inv[None]], axis=1)
+        emb = np.concatenate([freqs, freqs], axis=-1)
+        cos = jnp.asarray(np.cos(emb), jnp.float32)
+        sin = jnp.asarray(np.sin(emb), jnp.float32)
+
+        taps = []
+        for i in range(c.depth):
+            x = VisionBlock(c, dtype=self.dtype,
+                            name=f"block{i}")(x, cos, sin)
+            if i in c.deepstack_idx:
+                j = c.deepstack_idx.index(i)
+                taps.append(PatchMerger(c, postshuffle=True,
+                                        dtype=self.dtype,
+                                        name=f"deepstack{j}")(x))
+        out = PatchMerger(c, postshuffle=False, dtype=self.dtype,
+                          name="merger")(x)
+        return out, taps
+
+
+# ----------------------------------------------------------------- text
+
+
+def interleaved_mrope_cos_sin(position_ids: jax.Array,
+                              cfg: RefTextCfg):
+    """position_ids (3, B, L) -> cos/sin (B, L, head_dim)."""
+    half = cfg.head_dim // 2
+    inv = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    freqs = (position_ids[..., None].astype(jnp.float32)
+             * inv[None, None, None, :])            # (3, B, L, half)
+    ft = freqs[0]
+    lane = jnp.arange(half)
+    for axis, offset in ((1, 1), (2, 2)):
+        length = cfg.mrope_section[axis] * 3
+        sel = (lane % 3 == offset) & (lane < length)
+        ft = jnp.where(sel[None, None, :], freqs[axis], ft)
+    emb = jnp.concatenate([ft, ft], axis=-1)        # (B, L, head_dim)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+class TextLayer(nn.Module):
+    cfg: RefTextCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask_bias):
+        c = self.cfg
+        b, l, _ = x.shape
+        y = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_ln")(x)
+        q = nn.Dense(c.heads * c.head_dim, use_bias=False,
+                     dtype=self.dtype, name="q_proj")(y)
+        k = nn.Dense(c.kv_heads * c.head_dim, use_bias=False,
+                     dtype=self.dtype, name="k_proj")(y)
+        v = nn.Dense(c.kv_heads * c.head_dim, use_bias=False,
+                     dtype=self.dtype, name="v_proj")(y)
+        q = RMSNorm(c.rms_eps, dtype=self.dtype, name="q_norm")(
+            q.reshape(b, l, c.heads, c.head_dim))
+        k = RMSNorm(c.rms_eps, dtype=self.dtype, name="k_norm")(
+            k.reshape(b, l, c.kv_heads, c.head_dim))
+        v = v.reshape(b, l, c.kv_heads, c.head_dim)
+        q, k = _apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+        g = c.heads // c.kv_heads
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+        attn = attn / math.sqrt(c.head_dim) + mask_bias
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        o = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
+                     name="o_proj")(o.reshape(b, l, -1))
+        x = x + o
+        y = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_ln")(x)
+        gate = nn.Dense(c.intermediate, use_bias=False,
+                        dtype=self.dtype, name="gate_proj")(y)
+        up = nn.Dense(c.intermediate, use_bias=False, dtype=self.dtype,
+                      name="up_proj")(y)
+        y = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
+                     name="down_proj")(jax.nn.silu(gate) * up)
+        return x + y
+
+
+class TextModel(nn.Module):
+    """Decoder over precomputed input embeddings (prefill scoring).
+
+    deepstack_embeds: list of (V, out_hidden) visual features added at
+    layers 0..n-1 over the span [visual_start, visual_start+V) of every
+    batch row (single shared image).
+    """
+
+    cfg: RefTextCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs_embeds, position_ids, attention_mask,
+                 deepstack_embeds: Optional[Sequence[jax.Array]] = None,
+                 visual_start: int = 0):
+        c = self.cfg
+        b, l, _ = inputs_embeds.shape
+        cos, sin = interleaved_mrope_cos_sin(position_ids, c)
+        causal = jnp.tril(jnp.ones((l, l), bool))
+        padm = attention_mask.astype(bool)
+        mask = causal[None, :, :] & padm[:, None, :]
+        bias = jnp.where(mask, 0.0, jnp.float32(-1e9))[:, None, :, :]
+        x = inputs_embeds.astype(self.dtype)
+        for i in range(c.layers):
+            x = TextLayer(c, dtype=self.dtype, name=f"layer{i}")(
+                x, cos, sin, bias)
+            if deepstack_embeds is not None and i < len(deepstack_embeds):
+                ds = deepstack_embeds[i].astype(self.dtype)
+                span = jax.lax.dynamic_slice_in_dim(
+                    x, visual_start, ds.shape[0], axis=1)
+                x = jax.lax.dynamic_update_slice_in_dim(
+                    x, span + ds[None], visual_start, axis=1)
+        return RMSNorm(c.rms_eps, dtype=self.dtype, name="norm")(x)
+
+
+class Embedder(nn.Module):
+    cfg: RefTextCfg
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids):
+        return nn.Embed(self.cfg.vocab_size, self.cfg.hidden,
+                        dtype=self.dtype,
+                        name="embed_tokens")(input_ids)
+
+
+def get_rope_index_single_image(input_ids: np.ndarray,
+                                image_token_id: int,
+                                grid_h: int, grid_w: int,
+                                merge: int) -> np.ndarray:
+    """Host-side MRoPE position ids for one sequence with ONE image.
+
+    Matches get_rope_index semantics: text positions advance all three
+    axes together; image tokens get (t=0, row, col) grid positions
+    offset by the preceding text length; text after the image resumes
+    at max+1. Returns (3, L).
+    """
+    l = len(input_ids)
+    pos = np.zeros((3, l), np.int64)
+    img = np.nonzero(input_ids == image_token_id)[0]
+    if len(img) == 0:
+        pos[:] = np.arange(l)
+        return pos
+    st = int(img[0])
+    mh, mw = grid_h // merge, grid_w // merge
+    assert len(img) == mh * mw, (len(img), mh, mw)
+    pos[:, :st] = np.arange(st)
+    rows = np.repeat(np.arange(mh), mw)
+    cols = np.tile(np.arange(mw), mh)
+    pos[0, st:st + mh * mw] = st
+    pos[1, st:st + mh * mw] = st + rows
+    pos[2, st:st + mh * mw] = st + cols
+    nxt = st + max(mh, mw)
+    rest = l - (st + mh * mw)
+    pos[:, st + mh * mw:] = nxt + np.arange(rest)
+    return pos
