@@ -103,3 +103,37 @@ def test_nms_single_label_mode(rng):
     for slot in range(int(out.valid[0].sum())):
         anc = int(out.anchors[0, slot])
         assert int(out.labels[0, slot]) == int(scores[0, anc].argmax())
+
+
+def test_tiled_multi_tile_equivalence(rng=np.random.default_rng(7)):
+    """Small tile size forces cross-tile suppression paths."""
+    from wedetect_tpu.ops.nms import _greedy_nms_tiled
+
+    n = 100
+    # clustered boxes so suppression chains cross tile boundaries
+    centers = rng.uniform(20, 80, (10, 2))
+    idx = rng.integers(0, 10, n)
+    boxes = np.concatenate([
+        centers[idx] + rng.uniform(-3, 3, (n, 2)),
+        centers[idx] + 20 + rng.uniform(-3, 3, (n, 2))], axis=1
+    ).astype(np.float32)
+    scores = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    order = np.argsort(-scores)
+    boxes, scores = boxes[order], scores[order]
+    labels = rng.integers(0, 2, n).astype(np.int32)
+    anchors = np.arange(n, dtype=np.int32)
+
+    # oracle: sequential greedy
+    kept = []
+    for i in range(n):
+        if all(not (labels[i] == labels[j]
+                    and np_iou(boxes[i], boxes[j]) > 0.5)
+               for j in kept):
+            kept.append(i)
+    kept = kept[:16]
+
+    kb, ks, kl, ka, kv = _greedy_nms_tiled(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(labels),
+        jnp.asarray(anchors), 0.5, 16, tile=8)
+    got = np.asarray(ka)[np.asarray(kv)]
+    np.testing.assert_array_equal(got, np.array(kept))

@@ -1,0 +1,78 @@
+"""RefScorer end-to-end smoke with a fake tokenizer + tiny model."""
+
+import numpy as np
+import pytest
+
+from wedetect_tpu.models.ref import RefModules
+from wedetect_tpu.models.ref_api import RefScorer, pad_to_bucket
+from wedetect_tpu.nn.qwen3vl import RefCfg, RefTextCfg, RefVisionCfg
+
+
+class FakeTok:
+    """Maps each character to a small id; deterministic."""
+
+    def encode(self, text, add_special_tokens=False):
+        return [(ord(ch) % 80) + 1 for ch in text][:10]
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    import jax
+
+    cfg = RefCfg(
+        vision=RefVisionCfg(depth=2, hidden=32, heads=4,
+                            intermediate=64, patch=4, temporal_patch=2,
+                            merge=2, out_hidden=48, num_pos_emb=64,
+                            deepstack_idx=(0, 1)),
+        text=RefTextCfg(vocab_size=256, hidden=48, layers=2, heads=4,
+                        kv_heads=2, head_dim=16, intermediate=96,
+                        rope_theta=1000.0, mrope_section=(4, 2, 2)),
+        image_token_id=120, vision_start_token_id=122,
+        object_token_id=123)
+    # init params for a fixed grid (the scorer recompiles per grid,
+    # so use an image that lands exactly on this grid)
+    gh = gw = 8
+    mod = RefModules(cfg, gh, gw)
+    rng = np.random.default_rng(0)
+    variables = mod.init(
+        jax.random.PRNGKey(0),
+        np.zeros((gh * gw, 3 * 2 * 4 * 4), np.float32),
+        np.zeros((1, 32), np.int32), np.ones((1, 32), np.int32),
+        np.zeros((3, 1, 32), np.int32),
+        np.zeros((3, 4), np.float32),
+        np.array([64.0, 64.0], np.float32), 4,
+        np.zeros((1, 3), np.int32))
+    return cfg, variables["params"]
+
+
+def test_pad_to_bucket():
+    assert pad_to_bucket(10, (16, 32)) == 16
+    assert pad_to_bucket(17, (16, 32)) == 32
+    assert pad_to_bucket(99, (16, 32)) == 32
+
+
+def test_ref_scorer(tiny, monkeypatch):
+    cfg, params = tiny
+    # patch image_to_patches to produce the fixed grid the params
+    # were initialized for (patch 4 instead of 16)
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       seq_buckets=(64, 128), query_batch=2)
+    img = np.zeros((64, 64, 3), np.uint8)
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
+                      [5, 20, 40, 64]], np.float32)
+    scores = scorer.score(img, props, ["red box", "dog", "cat"],
+                          pad_token_id=0)
+    assert scores.shape == (3, 3)
+    assert np.isfinite(scores).all()
+    assert ((scores > 0) & (scores < 1)).all()
+    # batching invariance: single query matches its batched result
+    s1 = scorer.score(img, props, ["red box"], pad_token_id=0)
+    np.testing.assert_allclose(s1[0], scores[0], rtol=1e-4, atol=1e-5)

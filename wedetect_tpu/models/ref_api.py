@@ -1,0 +1,123 @@
+"""High-level WeDetect-Ref scorer: image + proposals + queries -> scores.
+
+The user-facing equivalent of the reference's
+infer_wedetect_ref.py:53-131 / eval_grounding/eval.py:1540-1623 flow,
+re-designed for TPU: queries are batched into ONE prefill per bucket
+instead of one forward per query, and all shapes (patch grid, sequence
+length, proposal count) are padded to buckets so the jit cache stays
+small.
+
+The chat layout replicates the Qwen conversation the reference builds
+(user: image + 'Please detect the "<query>" in the image';
+assistant: "<object>" * N).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from wedetect_tpu.nn.qwen3vl import RefCfg, get_rope_index_single_image
+
+QUERY_TEMPLATE = 'Please detect the "%s" in the image'
+
+
+def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class RefScorer:
+    cfg: RefCfg
+    params: Dict
+    tokenizer: object = None           # HF tokenizer (optional)
+    seq_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096)
+    query_batch: int = 8
+    max_proposals: int = 100
+
+    def build_sequence(self, query: str, n_img: int, n_obj: int
+                       ) -> np.ndarray:
+        """Token ids for one chat with the image/object spans."""
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required to build sequences"
+        pre = tok.encode("<|im_start|>user\n", add_special_tokens=False)
+        vs = [c.vision_start_token_id]
+        img = [c.image_token_id] * n_img
+        ve = tok.encode("<|vision_end|>", add_special_tokens=False)
+        q = tok.encode(QUERY_TEMPLATE % query,
+                       add_special_tokens=False)
+        mid = tok.encode("<|im_end|>\n<|im_start|>assistant\n",
+                         add_special_tokens=False)
+        obj = [c.object_token_id] * n_obj
+        end = tok.encode("<|im_end|>\n", add_special_tokens=False)
+        return np.array(pre + vs + img + ve + q + mid + obj + end,
+                        np.int32)
+
+    def score(self, image: np.ndarray, proposals: np.ndarray,
+              queries: Sequence[str],
+              pad_token_id: int = 151643) -> np.ndarray:
+        """image HWC uint8 RGB; proposals (N, 4) xyxy in image coords;
+        returns (num_queries, N) sigmoid scores."""
+        import jax.numpy as jnp
+
+        from wedetect_tpu.data.vision_process import image_to_patches
+        from wedetect_tpu.models.ref import ref_score_step
+
+        c = self.cfg
+        h, w = image.shape[:2]
+        proposals = np.asarray(proposals, np.float32)[:self.max_proposals]
+        proposals[:, 0::2] = np.clip(proposals[:, 0::2], 0, w)
+        proposals[:, 1::2] = np.clip(proposals[:, 1::2], 0, h)
+        n = len(proposals)
+
+        patches, gh, gw = image_to_patches(image)
+        n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
+
+        seqs = [self.build_sequence(q, n_img, n) for q in queries]
+        max_len = max(len(s) for s in seqs)
+        l = pad_to_bucket(max_len, self.seq_buckets)
+        ids = np.full((len(seqs), l), pad_token_id, np.int32)
+        mask = np.zeros((len(seqs), l), np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, :len(s)] = s
+            mask[i, :len(s)] = 1
+        visual_start = int(np.nonzero(seqs[0] == c.image_token_id)[0][0])
+        obj_pos = np.stack([
+            np.pad(np.nonzero(s == c.object_token_id)[0],
+                   (0, 0))[:n] if len(s) else np.zeros(n, np.int64)
+            for s in seqs]).astype(np.int32)
+        pos = np.stack([
+            np.pad(get_rope_index_single_image(
+                s, c.image_token_id, gh, gw, c.vision.merge),
+                ((0, 0), (0, l - len(s))))
+            for s in seqs], axis=1)                  # (3, Q, L)
+
+        out = np.zeros((len(seqs), n), np.float32)
+        bsz = self.query_batch
+        for st in range(0, len(seqs), bsz):
+            en = min(st + bsz, len(seqs))
+            pad_rows = bsz - (en - st)
+            sl = slice(st, en)
+            idsb = np.concatenate([ids[sl]] + [ids[st:st + 1]] * pad_rows)
+            maskb = np.concatenate([mask[sl]]
+                                   + [mask[st:st + 1]] * pad_rows)
+            posb = np.concatenate([pos[:, sl]]
+                                  + [pos[:, st:st + 1]] * pad_rows,
+                                  axis=1)
+            objb = np.concatenate([obj_pos[sl]]
+                                  + [obj_pos[st:st + 1]] * pad_rows)
+            logits = ref_score_step(
+                c, gh, gw, self.params, jnp.asarray(patches),
+                jnp.asarray(idsb), jnp.asarray(maskb),
+                jnp.asarray(posb), visual_start,
+                jnp.asarray(proposals),
+                jnp.asarray(np.array([w, h], np.float32)),
+                jnp.asarray(objb))
+            out[sl] = np.asarray(logits)[:en - st]
+        return 1.0 / (1.0 + np.exp(-out))

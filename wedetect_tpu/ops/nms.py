@@ -89,6 +89,119 @@ def _greedy_nms(boxes, scores, labels, anchors, iou_thr, max_out):
     return ob, os_, ol, oa, valid
 
 
+def _pairwise_iou_nn(a: jax.Array, b: jax.Array) -> jax.Array:
+    """IoU matrix between (N, 4) and (M, 4) -> (N, M)."""
+    lt = jnp.maximum(a[:, None, 0:2], b[None, :, 0:2])
+    rb = jnp.minimum(a[:, None, 2:4], b[None, :, 2:4])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (jnp.clip(a[:, 2] - a[:, 0], 0)
+              * jnp.clip(a[:, 3] - a[:, 1], 0))
+    area_b = (jnp.clip(b[:, 2] - b[:, 0], 0)
+              * jnp.clip(b[:, 3] - b[:, 1], 0))
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def _tile_greedy(sup: jax.Array, alive: jax.Array) -> jax.Array:
+    """Exact greedy keep-mask within one score-sorted tile.
+
+    sup (T, T): sup[j, i] means j (ranked higher) suppresses i (j < i
+    enforced by the caller passing a strictly-upper-triangular mask).
+    Solves keep[i] = alive[i] & !any_j(keep[j] & sup[j, i]) by fixpoint
+    iteration — each sweep finalizes at least one more suppression
+    level, and chains are short in practice, so the while_loop exits in
+    a few sweeps. Identical to sequential greedy NMS.
+    """
+
+    def body(state):
+        keep, _ = state
+        new = alive & ~jnp.any(keep[:, None] & sup, axis=0)
+        return new, jnp.any(new != keep)
+
+    def cond(state):
+        return state[1]
+
+    keep, _ = jax.lax.while_loop(
+        cond, body, (alive, jnp.asarray(True)))
+    return keep
+
+
+def _greedy_nms_tiled(boxes, scores, labels, anchors, iou_thr, max_out,
+                      tile: int = 1024):
+    """Exact greedy NMS over pre-sorted candidates, tiled for TPU.
+
+    Instead of max_out sequential (argmax + suppress) steps over all N
+    candidates (O(max_out) serial depth), processes score-sorted tiles:
+    each tile is suppressed by the kept set so far (one (T, kept) IoU
+    matrix), then resolved internally with a fixpoint sweep. Serial
+    depth = N/tile outer steps. Bit-identical keep decisions to
+    sequential greedy (ties cannot occur across the strict score sort
+    order used here).
+    """
+    n = scores.shape[0]
+    n_tiles = (n + tile - 1) // tile
+    pad = n_tiles * tile - n
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        scores = jnp.pad(scores, (0, pad),
+                         constant_values=-jnp.inf)
+        labels = jnp.pad(labels, (0, pad), constant_values=-2)
+        anchors = jnp.pad(anchors, (0, pad), constant_values=-1)
+    tri = jnp.triu(jnp.ones((tile, tile), bool), k=1)
+
+    # output buffers carry one extra dummy slot: non-kept / overflow
+    # candidates scatter there, so real slots only ever receive the
+    # unique kept candidate assigned to them.
+    m1 = max_out + 1
+    kept_boxes0 = jnp.zeros((m1, 4), boxes.dtype)
+    kept_scores0 = jnp.full((m1,), -jnp.inf, jnp.float32)
+    kept_labels0 = jnp.full((m1,), -1, jnp.int32)
+    kept_anchors0 = jnp.full((m1,), -1, jnp.int32)
+    kept_valid0 = jnp.zeros((m1,), bool)
+
+    def body(t, carry):
+        kb, ks, kl, ka, kv, n_kept = carry
+        sl = t * tile
+        tb = jax.lax.dynamic_slice_in_dim(boxes, sl, tile)
+        ts = jax.lax.dynamic_slice_in_dim(scores, sl, tile)
+        tl = jax.lax.dynamic_slice_in_dim(labels, sl, tile)
+        ta = jax.lax.dynamic_slice_in_dim(anchors, sl, tile)
+        valid = ts > -jnp.inf
+        # suppression by already-kept boxes (dummy slot is invalid)
+        iou_prev = _pairwise_iou_nn(kb[:max_out], tb)  # (max_out, T)
+        sup_prev = ((iou_prev > iou_thr)
+                    & (kl[:max_out, None] == tl[None, :])
+                    & kv[:max_out, None])
+        alive = valid & ~jnp.any(sup_prev, axis=0)
+        # within-tile greedy
+        iou_self = _pairwise_iou_nn(tb, tb)
+        sup_self = ((iou_self > iou_thr)
+                    & (tl[:, None] == tl[None, :]) & tri)
+        keep = _tile_greedy(sup_self, alive)
+        # append kept candidates; everything else -> dummy slot
+        pos = n_kept + jnp.cumsum(keep) - 1
+        pos = jnp.where(keep & (pos < max_out), pos, max_out)
+        kb = kb.at[pos].set(tb)
+        ks = ks.at[pos].set(ts)
+        kl = kl.at[pos].set(tl)
+        ka = ka.at[pos].set(ta)
+        kv = kv.at[pos].set(keep)
+        return kb, ks, kl, ka, kv, jnp.minimum(
+            n_kept + keep.sum(), max_out)
+
+    kb, ks, kl, ka, kv, _ = jax.lax.fori_loop(
+        0, n_tiles, body,
+        (kept_boxes0, kept_scores0, kept_labels0, kept_anchors0,
+         kept_valid0, jnp.int32(0)))
+    kb, ks, kl, ka, kv = (x[:max_out] for x in (kb, ks, kl, ka, kv))
+    ks = jnp.where(kv, ks, 0.0)
+    kl = jnp.where(kv, kl, -1)
+    ka = jnp.where(kv, ka, -1)
+    kb = jnp.where(kv[:, None], kb, 0.0)
+    return kb, ks, kl, ka, kv
+
+
 def static_nms_single(scores_ak: jax.Array, boxes_a: jax.Array,
                       score_thr: float, nms_pre: int, iou_thr: float,
                       max_out: int, class_mask: jax.Array | None = None,
@@ -120,8 +233,9 @@ def static_nms_single(scores_ak: jax.Array, boxes_a: jax.Array,
         label_idx = best_labels[anchor_idx]
 
     cand_boxes = boxes_a[anchor_idx].astype(jnp.float32)
-    return _greedy_nms(cand_boxes, top_scores, label_idx,
-                       anchor_idx.astype(jnp.int32), iou_thr, max_out)
+    return _greedy_nms_tiled(cand_boxes, top_scores, label_idx,
+                             anchor_idx.astype(jnp.int32), iou_thr,
+                             max_out)
 
 
 def batched_static_nms(scores: jax.Array, boxes: jax.Array,
