@@ -111,3 +111,37 @@ def test_multi_image_accumulation():
                 np.zeros(0, np.int64))
     # 1 of 2 gts detected across images
     assert e.summarize()["mAP"] == pytest.approx(51 / 101)
+
+
+def test_native_matcher_parity():
+    """C++ matcher == python loops on random cases."""
+    from wedetect_tpu.native import coco_match, get_lib
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    from wedetect_tpu.eval.coco_map import IOU_THRS
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        nd, ng = int(rng.integers(1, 30)), int(rng.integers(1, 12))
+        iou = rng.uniform(0, 1, (nd, ng))
+        gt_ig = rng.uniform(size=ng) < 0.3
+        crowd = gt_ig & (rng.uniform(size=ng) < 0.5)
+        got = coco_match(iou, gt_ig, crowd, IOU_THRS)
+        dtm = np.full((len(IOU_THRS), nd), -1, np.int64)
+        gtm = np.full((len(IOU_THRS), ng), -1, np.int64)
+        for ti, thr in enumerate(IOU_THRS):
+            for di in range(nd):
+                best, bi = min(thr, 1 - 1e-10), -1
+                for gi in range(ng):
+                    if gtm[ti, gi] >= 0 and not crowd[gi]:
+                        continue
+                    if bi > -1 and not gt_ig[bi] and gt_ig[gi]:
+                        break
+                    if iou[di, gi] < best:
+                        continue
+                    best, bi = iou[di, gi], gi
+                if bi == -1:
+                    continue
+                dtm[ti, di] = bi
+                gtm[ti, bi] = di
+        np.testing.assert_array_equal(got[0], dtm)
+        np.testing.assert_array_equal(got[1], gtm)

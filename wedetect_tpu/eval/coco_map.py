@@ -113,25 +113,35 @@ class CocoEvaluator:
             iou = iou_full[:, order]
             ng = len(order)
 
-            dtm = np.full((t, nd), -1, np.int64)
-            gtm = np.full((t, ng), -1, np.int64)
-            for ti, thr in enumerate(IOU_THRS):
-                for di in range(nd):
-                    best, bi = min(thr, 1 - 1e-10), -1
-                    for gi in range(ng):
-                        # gt already matched (crowds can rematch)
-                        if gtm[ti, gi] >= 0 and not crowd[gi]:
+            native = None
+            if nd and ng:
+                from wedetect_tpu.native import coco_match
+
+                native = coco_match(iou, gt_ig, crowd, IOU_THRS)
+            if native is not None:
+                dtm, gtm = native
+            else:
+                dtm = np.full((t, nd), -1, np.int64)
+                gtm = np.full((t, ng), -1, np.int64)
+                for ti, thr in enumerate(IOU_THRS):
+                    for di in range(nd):
+                        best, bi = min(thr, 1 - 1e-10), -1
+                        for gi in range(ng):
+                            # gt already matched (crowds can rematch)
+                            if gtm[ti, gi] >= 0 and not crowd[gi]:
+                                continue
+                            # non-ignored match found, moving on to
+                            # ignored gts -> stop
+                            if (bi > -1 and not gt_ig[bi]
+                                    and gt_ig[gi]):
+                                break
+                            if iou[di, gi] < best:
+                                continue
+                            best, bi = iou[di, gi], gi
+                        if bi == -1:
                             continue
-                        # non-ignored match found, moving to ignored
-                        if (bi > -1 and not gt_ig[bi] and gt_ig[gi]):
-                            break
-                        if iou[di, gi] < best:
-                            continue
-                        best, bi = iou[di, gi], gi
-                    if bi == -1:
-                        continue
-                    dtm[ti, di] = bi
-                    gtm[ti, bi] = di
+                        dtm[ti, di] = bi
+                        gtm[ti, bi] = di
             # det ignored: matched to ignored gt, or unmatched with
             # det area outside range
             darea = np.prod(np.clip(dtb[:, 2:4] - dtb[:, :2], 0, None),

@@ -160,7 +160,8 @@ def _greedy_nms_tiled(boxes, scores, labels, anchors, iou_thr, max_out,
     kept_anchors0 = jnp.full((m1,), -1, jnp.int32)
     kept_valid0 = jnp.zeros((m1,), bool)
 
-    def body(t, carry):
+    def body(state):
+        t, carry = state
         kb, ks, kl, ka, kv, n_kept = carry
         sl = t * tile
         tb = jax.lax.dynamic_slice_in_dim(boxes, sl, tile)
@@ -187,13 +188,21 @@ def _greedy_nms_tiled(boxes, scores, labels, anchors, iou_thr, max_out,
         kl = kl.at[pos].set(tl)
         ka = ka.at[pos].set(ta)
         kv = kv.at[pos].set(keep)
-        return kb, ks, kl, ka, kv, jnp.minimum(
-            n_kept + keep.sum(), max_out)
+        return t + 1, (kb, ks, kl, ka, kv, jnp.minimum(
+            n_kept + keep.sum(), max_out))
 
-    kb, ks, kl, ka, kv, _ = jax.lax.fori_loop(
-        0, n_tiles, body,
-        (kept_boxes0, kept_scores0, kept_labels0, kept_anchors0,
-         kept_valid0, jnp.int32(0)))
+    def cond(state):
+        # early exit once every output slot is filled: later (lower
+        # scored) candidates can never alter the first max_out kept —
+        # in practice this stops after the first few tiles.
+        t, carry = state
+        return (t < n_tiles) & (carry[5] < max_out)
+
+    _, (kb, ks, kl, ka, kv, _) = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0),
+         (kept_boxes0, kept_scores0, kept_labels0, kept_anchors0,
+          kept_valid0, jnp.int32(0))))
     kb, ks, kl, ka, kv = (x[:max_out] for x in (kb, ks, kl, ka, kv))
     ks = jnp.where(kv, ks, 0.0)
     kl = jnp.where(kv, kl, -1)
