@@ -63,7 +63,7 @@ def main():
         return (time.perf_counter() - t0) / iters
 
     best = 0.0
-    batches = (1, 4, 8, 16) if on_tpu else (1,)
+    batches = (8, 16) if on_tpu else (1,)
     iters = 30 if on_tpu else 2
     for b in batches:
         try:

@@ -51,6 +51,7 @@ class Detections(NamedTuple):
     scores: jax.Array   # (B, max_out)
     labels: jax.Array   # (B, max_out) int32, -1 for empty slots
     embeds: jax.Array   # (B, max_out, C) region embedding per detection
+    anchors: jax.Array  # (B, max_out) int32 source anchor index
     valid: jax.Array    # (B, max_out) bool
 
 
@@ -153,7 +154,8 @@ def postprocess(cfg: ModelCfg, dec: DetectorOutputs,
     embeds = jnp.take_along_axis(
         dec.embeds, jnp.clip(res.anchors, 0)[..., None], axis=1)
     return Detections(boxes=boxes, scores=res.scores, labels=res.labels,
-                      embeds=embeds, valid=res.valid)
+                      embeds=embeds, anchors=res.anchors,
+                      valid=res.valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
