@@ -28,7 +28,15 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     cfg = wedetect_base(compute_dtype="bfloat16", num_classes=80)
-    variables = init_variables(cfg, seed=0)
+    # init on host CPU (much faster than compiling the init program
+    # through the device), then transfer once
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = init_variables(cfg, seed=0)
+        variables = jax.device_put(variables, jax.devices()[0])
+    except Exception:
+        variables = init_variables(cfg, seed=0)
     h, w = cfg.img_size
     k = cfg.num_classes
 

@@ -10,6 +10,7 @@ import pytest
     ("eval_recall", ["--ann", "a.json", "--img-root", "r"]),
     ("extract_embedding", ["--ann", "a.json", "--img-root", "r"]),
     ("infer_wedetect_ref", ["--image", "x.jpg", "--query", "q"]),
+    ("train", ["--ann", "a.json", "--img-root", "r"]),
 ])
 def test_cli_parses(mod, extra):
     import importlib
