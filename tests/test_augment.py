@@ -85,3 +85,57 @@ def test_class_aware_sampler():
                                world_size=3)
         parts.extend(list(sr))
     assert sorted(parts) == sorted(idx)
+
+
+def test_mosaic9():
+    rng = np.random.default_rng(3)
+    from wedetect_tpu.data.augment import mosaic9
+
+    samples = [make_sample(rng) for _ in range(9)]
+    out = mosaic9(samples, img_scale=64, rng=rng)
+    assert out["image"].shape == (128, 128, 3)
+    b = out["gt_bboxes"]
+    assert (b >= 0).all() and (b <= 128).all()
+
+
+def test_yolox_mixup():
+    rng = np.random.default_rng(4)
+    from wedetect_tpu.data.augment import yolox_mixup
+
+    a, b = make_sample(rng, size=96), make_sample(rng, size=64)
+    out = yolox_mixup(a, b, rng)
+    assert out["image"].shape == a["image"].shape
+    assert len(out["gt_bboxes"]) >= len(a["gt_bboxes"])
+    bb = out["gt_bboxes"]
+    assert (bb[:, 0::2] <= 96).all() and (bb >= 0).all()
+
+
+def test_concat_repeat():
+    from wedetect_tpu.data.concat import ConcatDetDataset, RepeatDataset
+
+    class FakeDs:
+        def __init__(self, n, texts, label):
+            self.n, self.texts, self.label = n, texts, label
+
+        def __len__(self):
+            return self.n
+
+        def sample(self, i):
+            return {"gt_labels": np.array([self.label]),
+                    "texts": self.texts, "idx": i}
+
+    d1 = FakeDs(3, [["cat"], ["dog"]], 0)
+    d2 = FakeDs(2, [["dog"], ["bird"]], 1)
+    cat = ConcatDetDataset([d1, d2])
+    assert len(cat) == 5
+    assert cat.texts == ["cat", "dog", "dog", "bird"]
+    assert cat.sample(3)["idx"] == 0       # second dataset
+    ids = cat.get_cat_ids(0)               # label 0 in d1 -> "cat" -> 0
+    assert ids == [0]
+    ids2 = cat.get_cat_ids(4)              # label 1 in d2 -> "bird" -> 3
+    assert ids2 == [3]
+    table = cat.cat_to_indices()
+    assert set(table[0]) == {0, 1, 2}
+    rep = RepeatDataset(d2, 3)
+    assert len(rep) == 6
+    assert rep.sample(5)["idx"] == 1

@@ -166,3 +166,93 @@ def merge_mixed_texts(samples: List[Dict]) -> Tuple[List, List[Dict]]:
         s2["texts"] = union
         out.append(s2)
     return union, out
+
+
+def mosaic9(samples: List[Dict], img_scale: int,
+            rng: np.random.Generator, pad_val: int = 114) -> Dict:
+    """9-image 3x3 mosaic (reference Mosaic9,
+    mm_mix_img_transforms.py:514-806): images tile a 3s x 3s canvas,
+    which is center-cropped to 2s x 2s with a random jitter."""
+    import cv2
+
+    s = img_scale
+    canvas = np.full((3 * s, 3 * s, 3), pad_val, np.uint8)
+    all_boxes, all_labels = [], []
+    for i, sample in enumerate(samples[:9]):
+        r, c = divmod(i, 3)
+        img, ratio = _place_keep_ratio(sample["image"], s)
+        h, w = img.shape[:2]
+        y1, x1 = r * s, c * s
+        canvas[y1:y1 + h, x1:x1 + w] = img
+        boxes = np.asarray(sample["gt_bboxes"], np.float32).copy()
+        if len(boxes):
+            boxes *= ratio
+            boxes[:, 0::2] += x1
+            boxes[:, 1::2] += y1
+            all_boxes.append(boxes)
+            all_labels.append(np.asarray(sample["gt_labels"]))
+    ox = int(rng.integers(0, s + 1))
+    oy = int(rng.integers(0, s + 1))
+    out = canvas[oy:oy + 2 * s, ox:ox + 2 * s]
+    if all_boxes:
+        boxes = np.concatenate(all_boxes)
+        labels = np.concatenate(all_labels)
+        boxes[:, 0::2] = (boxes[:, 0::2] - ox).clip(0, 2 * s)
+        boxes[:, 1::2] = (boxes[:, 1::2] - oy).clip(0, 2 * s)
+        wh = boxes[:, 2:4] - boxes[:, 0:2]
+        keep = (wh > 2).all(axis=1)
+        boxes, labels = boxes[keep], labels[keep]
+    else:
+        boxes = np.zeros((0, 4), np.float32)
+        labels = np.zeros((0,), np.int64)
+    return {"image": out, "gt_bboxes": boxes, "gt_labels": labels,
+            "texts": samples[0].get("texts")}
+
+
+def yolox_mixup(a: Dict, b: Dict, rng: np.random.Generator,
+                ratio_range=(0.5, 1.5), pad_val: int = 114) -> Dict:
+    """YOLOX-style mixup (reference YOLOXMultiModalMixUp,
+    mm_mix_img_transforms.py:941-1173): the second image is jittered in
+    scale, optionally flipped, padded/cropped to the first image's
+    size, then blended 0.5/0.5 with gts concatenated."""
+    import cv2
+
+    img_a = a["image"]
+    h, w = img_a.shape[:2]
+    jit = float(rng.uniform(*ratio_range))
+    img_b = b["image"]
+    bh, bw = img_b.shape[:2]
+    scale = min(h / bh, w / bw) * jit
+    nbh, nbw = max(int(bh * scale), 1), max(int(bw * scale), 1)
+    resized = cv2.resize(img_b, (nbw, nbh),
+                         interpolation=cv2.INTER_LINEAR)
+    flip = bool(rng.uniform() < 0.5)
+    if flip:
+        resized = resized[:, ::-1]
+    pad = np.full((max(h, nbh), max(w, nbw), 3), pad_val, np.uint8)
+    pad[:nbh, :nbw] = resized
+    pad = pad[:h, :w]
+    mixed = (img_a.astype(np.float32) * 0.5
+             + pad.astype(np.float32) * 0.5).astype(np.uint8)
+    boxes_b = np.asarray(b["gt_bboxes"], np.float32).copy()
+    if len(boxes_b):
+        boxes_b *= scale
+        if flip:
+            boxes_b[:, [0, 2]] = nbw - boxes_b[:, [2, 0]]
+        boxes_b[:, 0::2] = boxes_b[:, 0::2].clip(0, w)
+        boxes_b[:, 1::2] = boxes_b[:, 1::2].clip(0, h)
+        wh_b = boxes_b[:, 2:4] - boxes_b[:, 0:2]
+        keep = (wh_b > 2).all(axis=1)
+        boxes_b = boxes_b[keep]
+        labels_b = np.asarray(b["gt_labels"])[keep]
+    else:
+        labels_b = np.zeros((0,), np.int64)
+    return {
+        "image": mixed,
+        "gt_bboxes": np.concatenate([
+            np.asarray(a["gt_bboxes"], np.float32).reshape(-1, 4),
+            boxes_b.reshape(-1, 4)]),
+        "gt_labels": np.concatenate([
+            np.asarray(a["gt_labels"]), labels_b]),
+        "texts": a.get("texts"),
+    }

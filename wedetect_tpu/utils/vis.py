@@ -43,3 +43,36 @@ def draw_detections(image, boxes: np.ndarray, scores: np.ndarray,
                     fill=color)
         d.text((x1 + 2, max(y1 - th - 3, 0)), caption, fill=(255,) * 3)
     return img
+
+
+def visualize_batch(batch, class_texts=None, out_dir="debug_vis",
+                    mean=(0.0, 0.0, 0.0), std=(255.0, 255.0, 255.0)):
+    """Debug dump of a training batch with gt boxes drawn.
+
+    Behavioral spec: reference wedetect/models/utils/vis.py:9-109
+    (visualize_batch): denormalize images, draw each gt box with its
+    class text, save one file per image.
+    """
+    import os
+
+    import numpy as np
+
+    os.makedirs(out_dir, exist_ok=True)
+    images = np.asarray(batch.images)
+    paths = []
+    for i in range(images.shape[0]):
+        if images.dtype == np.uint8:
+            img = images[i]
+        else:  # normalized floats -> denormalize
+            img = (images[i].astype(np.float32) * np.asarray(std)
+                   + np.asarray(mean))
+            img = np.clip(img, 0, 255).astype(np.uint8)
+        m = np.asarray(batch.gt_mask[i])
+        boxes = np.asarray(batch.gt_bboxes[i])[m]
+        labels = np.asarray(batch.gt_labels[i])[m]
+        drawn = draw_detections(img, boxes, np.ones(len(boxes)),
+                                labels, class_names=class_texts)
+        path = os.path.join(out_dir, f"batch_{i}.jpg")
+        drawn.save(path)
+        paths.append(path)
+    return paths
