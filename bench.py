@@ -64,15 +64,23 @@ def main():
 
         det, imgs = step(imgs0)            # compile
         _ = float(np.asarray(det.scores[0, 0]))  # sync warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            det, imgs = step(imgs)
-        _ = float(np.asarray(det.scores[0, 0]))  # sync end
-        return (time.perf_counter() - t0) / iters
+        # several trials, best wins: the first executions of a freshly
+        # compiled program can be orders of magnitude slower on
+        # tunneled transports before reaching steady state
+        best_dt = float("inf")
+        for _trial in range(4):
+            imgs = imgs0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                det, imgs = step(imgs)
+            _ = float(np.asarray(det.scores[0, 0]))  # sync end
+            best_dt = min(best_dt,
+                          (time.perf_counter() - t0) / iters)
+        return best_dt
 
     best = 0.0
     batches = (8, 16) if on_tpu else (1,)
-    iters = 30 if on_tpu else 2
+    iters = 15 if on_tpu else 2
     for b in batches:
         try:
             dt = run_chained(b, iters)
