@@ -100,3 +100,15 @@ def test_unletterbox_rescale(cfg, variables):
     expect = (b0 - np.array([3, 7, 3, 7])) / 0.5
     expect = np.clip(expect, 0, [50, 100, 50, 100])
     np.testing.assert_allclose(b1[valid], expect[valid], atol=1e-3)
+
+
+def test_uni_mlp_adapter():
+    import dataclasses
+
+    cfg = dataclasses.replace(mini_cfg(num_prompts=8, num_classes=8),
+                              use_mlp_adapter=True)
+    variables = init_variables(cfg, seed=0)
+    assert "adapter_fc1" in variables["params"]
+    imgs = np.zeros((1, 64, 64, 3), np.uint8)
+    out = forward_raw(cfg, variables, jnp.asarray(imgs), None)
+    assert np.isfinite(np.asarray(out.scores)).all()

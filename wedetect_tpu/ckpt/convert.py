@@ -217,6 +217,11 @@ def convert_detector(sd: Flat, cfg: ModelCfg) -> Dict:
     params["head"], stats["head"] = convert_head(sd, "bbox_head.")
     if cfg.num_prompts and "embeddings" in sd:
         params["embeddings"] = sd["embeddings"]
+    if cfg.num_prompts and "adapter.0.weight" in sd:
+        params["adapter_fc1"] = {"kernel": _t_lin(sd["adapter.0.weight"]),
+                                 "bias": sd["adapter.0.bias"]}
+        params["adapter_fc2"] = {"kernel": _t_lin(sd["adapter.2.weight"]),
+                                 "bias": sd["adapter.2.bias"]}
     import jax.numpy as jnp
     to_jnp = lambda x: jnp.asarray(np.asarray(x, np.float32))  # noqa: E731
     import jax

@@ -103,6 +103,9 @@ class ModelCfg:
     text: TextCfg | None = TEXT_BASE
     # Uni variant: number of learned objectness prompts
     num_prompts: int = 0
+    # Uni variant: residual MLP adapter over the prompt bank
+    # (reference: yolo_world.py:160-165, use_mlp_adapter)
+    use_mlp_adapter: bool = False
     # classes: static K the graph is compiled for (pad + mask at runtime)
     num_classes: int = 80
     # compute dtype for conv/matmul path ("bfloat16" or "float32")

@@ -81,6 +81,13 @@ class WeDetectModule(nn.Module):
                 "embeddings",
                 lambda key, shape: _normed_init(key, shape),
                 (c.num_prompts, c.embed_dims))
+            if c.use_mlp_adapter:
+                # residual MLP adapter + L2 norm
+                # (reference: yolo_world.py:160-165, 249-252)
+                self.adapter_fc1 = nn.Dense(2 * c.embed_dims,
+                                            name="adapter_fc1")
+                self.adapter_fc2 = nn.Dense(c.embed_dims,
+                                            name="adapter_fc2")
 
     def __call__(self, images, w=None, train: bool = False) -> HeadOutputs:
         """images: (B, H, W, 3) float in [0,1]; w: (K, C) or (B, K, C).
@@ -94,7 +101,13 @@ class WeDetectModule(nn.Module):
         if w is None:
             assert c.num_prompts, "text embeddings required"
             w = self.embeddings
-            normalize_w = False
+            if c.use_mlp_adapter:
+                a = self.adapter_fc2(jax.nn.relu(self.adapter_fc1(w)))
+                w = w + a
+                w = w / jnp.linalg.norm(w, axis=-1, keepdims=True)
+            else:
+                # standalone Uni path uses the raw bank
+                normalize_w = False
         feats = self.backbone(images.astype(c.dtype))
         p3, p4, p5 = self.neck(feats, train=train)
         return self.head((p3, p4, p5), w, train=train,
