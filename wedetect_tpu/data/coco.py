@@ -20,6 +20,10 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
+def self_cat2label_get(ds, cat_id):
+    return ds.cat2label.get(cat_id, -1)
+
+
 class CocoDetDataset:
     """Detection dataset over a COCO-format annotation file."""
 
@@ -52,10 +56,22 @@ class CocoDetDataset:
                 "path": os.path.join(img_root, fname),
                 "width": img["width"], "height": img["height"],
                 "anns": anns,
+                # LVIS per-image category domains
+                "neg_cats": [self_cat2label_get(self, c) for c in
+                             img.get("neg_category_ids", [])],
+                "not_exhaustive": [self_cat2label_get(self, c) for c in
+                                   img.get(
+                                       "not_exhaustive_category_ids",
+                                       [])],
             })
         self.texts = None
         if class_text_path:
             self.texts = load_class_texts(class_text_path)
+        # LVIS category frequency groups (r/c/f) when present
+        self.frequencies = {
+            self.cat2label[c["id"]]: c["frequency"]
+            for c in self.cats if c.get("frequency") in ("r", "c", "f")
+        } or None
 
     def __len__(self) -> int:
         return len(self.items)

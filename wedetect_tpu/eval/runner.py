@@ -37,8 +37,10 @@ def process_shard(n: int, rank: Optional[int] = None,
 def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
                   text_embeds, batch_size: int = 8,
                   class_mask=None, max_images: Optional[int] = None,
-                  progress: bool = False) -> Dict[str, float]:
-    """Run the detector over the dataset and compute COCO bbox metrics."""
+                  progress: bool = False,
+                  lvis: bool = False) -> Dict[str, float]:
+    """Run the detector over the dataset and compute COCO (or LVIS
+    fixed-AP) bbox metrics."""
     import jax.numpy as jnp
 
     indices = list(process_shard(len(ds)))
@@ -46,7 +48,14 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
         indices = indices[:max_images]
     loader = EvalLoader(ds, cfg.img_size, batch_size=batch_size,
                         indices=indices)
-    evaluator = CocoEvaluator(class_ids=range(len(ds.class_names)))
+    if lvis:
+        from wedetect_tpu.eval.lvis_map import LvisEvaluator
+
+        evaluator = LvisEvaluator(
+            class_ids=range(len(ds.class_names)),
+            frequencies=getattr(ds, "frequencies", None))
+    else:
+        evaluator = CocoEvaluator(class_ids=range(len(ds.class_names)))
     w = jnp.asarray(text_embeds) if text_embeds is not None else None
 
     for bi, batch in enumerate(loader):
@@ -61,8 +70,17 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
         valid = np.asarray(det.valid)
         for i, idx in enumerate(batch["idxs"]):
             v = valid[i]
-            evaluator.add_image(ds.gt_arrays(idx), boxes[i][v],
-                                scores[i][v], labels[i][v])
+            if lvis:
+                item = ds.items[idx]
+                evaluator.add_image(
+                    ds.gt_arrays(idx), boxes[i][v], scores[i][v],
+                    labels[i][v],
+                    neg_cats=set(item.get("neg_cats", [])),
+                    not_exhaustive=set(item.get("not_exhaustive",
+                                                [])))
+            else:
+                evaluator.add_image(ds.gt_arrays(idx), boxes[i][v],
+                                    scores[i][v], labels[i][v])
         if progress and bi % 20 == 0:
             print(f"eval {bi}/{len(loader)}", flush=True)
 
