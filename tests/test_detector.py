@@ -112,3 +112,16 @@ def test_uni_mlp_adapter():
     imgs = np.zeros((1, 64, 64, 3), np.uint8)
     out = forward_raw(cfg, variables, jnp.asarray(imgs), None)
     assert np.isfinite(np.asarray(out.scores)).all()
+
+
+def test_xlarge_down_proj():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        mini_cfg(), dims=(32, 64, 128, 512), backbone_down_proj=256)
+    variables = init_variables(cfg, seed=0)
+    assert "down_mlp" in variables["params"]
+    out = forward_raw(cfg, variables, jnp.asarray(
+        np.zeros((1, 64, 64, 3), np.uint8)),
+        jnp.asarray(np.zeros((4, cfg.embed_dims), np.float32)))
+    assert np.isfinite(np.asarray(out.logits)).all()

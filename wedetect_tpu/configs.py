@@ -90,6 +90,8 @@ class ModelCfg:
     # neck
     neck_scale: float = 1.0
     neck_repeats: int = 12
+    # optional 1x1 down-projection of the last backbone level (xlarge)
+    backbone_down_proj: int = 0
     # head
     head_in_channels: Tuple[int, ...] = (128, 256, 512)
     embed_dims: int = 768
@@ -145,6 +147,14 @@ def _sized(name: str, **kw) -> ModelCfg:
                       neck_scale=1.5, neck_repeats=12,
                       head_in_channels=(192, 384, 768), img_size=(1280, 1280),
                       text=TEXT_LARGE),
+        # xlarge: ConvNeXt-XL dims with a 1x1 down-projection of c4 to
+        # 1024 so the base-scale neck applies (reference:
+        # mm_backbone.py:278-301 down_mlp)
+        "xlarge": dict(depths=(3, 3, 27, 3), dims=(256, 512, 1024, 2048),
+                       neck_scale=1.0, neck_repeats=12,
+                       head_in_channels=(128, 256, 512),
+                       img_size=(1280, 1280), text=TEXT_LARGE,
+                       backbone_down_proj=1024),
     }
     d = dict(table[name])
     d.update(kw)

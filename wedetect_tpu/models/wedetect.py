@@ -66,6 +66,11 @@ class WeDetectModule(nn.Module):
         dt = c.dtype
         self.backbone = ConvNeXt(depths=c.depths, dims=c.dims, dtype=dt,
                                  name="backbone")
+        if c.backbone_down_proj:
+            # xlarge c4 1x1 down-projection (reference
+            # mm_backbone.py:278-301, down_mlp Conv2d(2048, 1024, 1))
+            self.down_mlp = nn.Dense(c.backbone_down_proj,
+                                     dtype=dt, name="down_mlp")
         self.neck = CSPRepBiFPANNeck(scale=c.neck_scale,
                                      repeats=c.neck_repeats, dtype=dt,
                                      bn_axis_name=self.bn_axis_name,
@@ -109,6 +114,8 @@ class WeDetectModule(nn.Module):
                 # standalone Uni path uses the raw bank
                 normalize_w = False
         feats = self.backbone(images.astype(c.dtype))
+        if c.backbone_down_proj:
+            feats = feats[:3] + (self.down_mlp(feats[3]),)
         p3, p4, p5 = self.neck(feats, train=train)
         return self.head((p3, p4, p5), w, train=train,
                          normalize_w=normalize_w)
