@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+import numpy as np
+
 from wedetect_tpu.nn.layers import ConvBN, Conv1x1
 from wedetect_tpu.ops.dfl import dfl_expectation
 
@@ -54,6 +56,7 @@ class ContrastiveScore(nn.Module):
     """
 
     embed_dims: int
+    use_bn: bool = True
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -63,17 +66,28 @@ class ContrastiveScore(nn.Module):
         """x: (B, H, W, C) embeddings; w: (K, C) or (B, K, C) weights.
 
         Returns (logits (B, H, W, K), normed_x (B, H, W, C)).
+
+        use_bn=False reproduces the plain ContrastiveHead (reference
+        yolo_world_head.py:27-65): L2-normalized region embeddings and
+        logit_scale initialized to log(1/0.07).
         """
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.97, epsilon=1e-3,
-            axis_name=self.bn_axis_name if train else None,
-            dtype=jnp.float32, name="norm",
-        )(x).astype(self.dtype)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.97, epsilon=1e-3,
+                axis_name=self.bn_axis_name if train else None,
+                dtype=jnp.float32, name="norm",
+            )(x).astype(self.dtype)
+        else:
+            x = (x * jax.lax.rsqrt(
+                jnp.sum(jnp.square(x.astype(jnp.float32)), -1,
+                        keepdims=True) + 1e-24)).astype(self.dtype)
         bias = self.param("bias", nn.initializers.zeros, (), jnp.float32)
-        logit_scale = self.param("logit_scale",
-                                 nn.initializers.constant(-1.0),
-                                 (), jnp.float32)
+        logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(
+                -1.0 if self.use_bn else float(np.log(1 / 0.07))),
+            (), jnp.float32)
         if normalize_w:
             w = w * jax.lax.rsqrt(
                 jnp.sum(jnp.square(w.astype(jnp.float32)), -1,
@@ -95,6 +109,7 @@ class WeDetectHead(nn.Module):
     reg_max: int = 16
     cls_hidden: int = 256
     reg_hidden: int = 64
+    use_bn_head: bool = True
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
 
@@ -116,8 +131,9 @@ class WeDetectHead(nn.Module):
             embed = Conv1x1(self.embed_dims, dtype=self.dtype,
                             name=f"cls{i}_pred")(c)
             logit, embed_n = ContrastiveScore(
-                self.embed_dims, name=f"contrast{i}",
-                **kw)(embed, w, train, normalize_w)
+                self.embed_dims, use_bn=self.use_bn_head,
+                name=f"contrast{i}", **kw)(embed, w, train,
+                                           normalize_w)
 
             r = ConvBN(self.reg_hidden, 3, 1, "silu",
                        bn_eps=1e-3, bn_momentum=0.97,

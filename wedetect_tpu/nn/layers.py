@@ -222,3 +222,71 @@ class BiFusion(nn.Module):
                      **kw)(low, train)
         y = jnp.concatenate([up, mid, low], axis=-1)
         return ConvBN(self.out_ch, 1, 1, "relu", name="cv3", **kw)(y, train)
+
+
+class RepVGGBlock(nn.Module):
+    """Rep-style basic block: 3x3 ConvBN + 1x1 ConvBN + identity BN,
+    summed then ReLU; deploy form is a single fused 3x3 conv.
+
+    Behavioral spec: reference yolo_world_pafpn.py:211-334 (RepVGGBlock
+    with get_equivalent_kernel_bias / switch_to_deploy). This is the
+    optional `block` choice of the neck stage blocks (shipped configs
+    use ConvBNSiLU). The fuse here folds the branch BNs into the conv
+    weights (the standard RepVGG algebra).
+    """
+
+    out_ch: int
+    stride: int = 1
+    deploy: bool = False
+    dtype: Dtype = jnp.float32
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.deploy:
+            y = nn.Conv(self.out_ch, (3, 3),
+                        strides=(self.stride, self.stride),
+                        padding=[(1, 1), (1, 1)], use_bias=True,
+                        dtype=self.dtype, name="reparam")(x)
+            return jax.nn.relu(y)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        dense = ConvBN(self.out_ch, 3, self.stride, None,
+                       name="rbr_dense", **kw)(x, train)
+        one = ConvBN(self.out_ch, 1, self.stride, None,
+                     name="rbr_1x1", **kw)(x, train)
+        y = dense + one
+        if x.shape[-1] == self.out_ch and self.stride == 1:
+            ident = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                epsilon=1e-5,
+                axis_name=self.bn_axis_name if train else None,
+                dtype=jnp.float32, name="rbr_identity",
+            )(x).astype(self.dtype)
+            y = y + ident
+        return jax.nn.relu(y)
+
+
+def repvgg_fuse(params: dict, stats: dict) -> dict:
+    """Fold a RepVGGBlock's branches into the deploy 3x3 conv params.
+
+    Returns {"reparam": {"kernel", "bias"}} (HWIO kernel).
+    """
+    def fold(p, s, eps=1e-5):
+        k = p["bn"]["scale"] / jnp.sqrt(s["bn"]["var"] + eps)
+        return (p["conv"]["kernel"] * k[None, None, None, :],
+                p["bn"]["bias"] - s["bn"]["mean"] * k)
+
+    k3, b3 = fold(params["rbr_dense"], stats["rbr_dense"])
+    k1, b1 = fold(params["rbr_1x1"], stats["rbr_1x1"])
+    k1 = jnp.pad(k1, ((1, 1), (1, 1), (0, 0), (0, 0)))
+    kernel = k3 + k1
+    bias = b3 + b1
+    if "rbr_identity" in params:
+        cin = kernel.shape[2]
+        s = stats["rbr_identity"]
+        p = params["rbr_identity"]
+        kid = p["scale"] / jnp.sqrt(s["var"] + 1e-5)
+        eye = jnp.zeros((3, 3, cin, cin)).at[1, 1].set(jnp.eye(cin))
+        kernel = kernel + eye * kid[None, None, None, :]
+        bias = bias + p["bias"] - s["mean"] * kid
+    return {"reparam": {"kernel": kernel, "bias": bias}}
