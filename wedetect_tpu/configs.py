@@ -99,6 +99,8 @@ class ModelCfg:
     strides: Tuple[int, ...] = (8, 16, 32)
     cls_hidden: int = 256  # reference: yolo_world_head.py:183 cls_out_channels
     reg_hidden: int = 64   # reference: yolo_world_head.py:181 reg_out_channels
+    # BN contrastive head (shipped) vs plain L2-norm ContrastiveHead
+    use_bn_head: bool = True
     # input
     img_size: Tuple[int, int] = (640, 640)
     # text tower (None => learned-prompt / Uni variant)

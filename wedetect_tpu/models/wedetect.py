@@ -76,7 +76,8 @@ class WeDetectModule(nn.Module):
                                      bn_axis_name=self.bn_axis_name,
                                      name="neck")
         self.head = WeDetectHead(embed_dims=c.embed_dims,
-                                 reg_max=c.reg_max, dtype=dt,
+                                 reg_max=c.reg_max,
+                                 use_bn_head=c.use_bn_head, dtype=dt,
                                  bn_axis_name=self.bn_axis_name,
                                  name="head")
         if c.num_prompts:
