@@ -85,3 +85,14 @@ def test_yolo_world_pafpn(rng):
         outs = init_apply(neck, feats, text)
         assert [o.shape for o in outs] == [
             (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 256)]
+
+
+def test_efficient_csp(rng):
+    from wedetect_tpu.nn.yolo_world_pafpn import (
+        EfficientCSPLayerWithTwoConv)
+
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 32),
+                                        dtype=np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 4, 64), dtype=np.float32))
+    y = init_apply(EfficientCSPLayerWithTwoConv(32, num_blocks=1), x, g)
+    assert y.shape == (1, 8, 8, 32)

@@ -115,6 +115,25 @@ def load_class_texts(path: str) -> List[List[str]]:
         return json.load(f)
 
 
+class MultiModalMixedDataset:
+    """Marks each sample with is_detection (reference
+    mm_dataset.py:97-125, MultiModalMixedDataset) so mixed
+    grounding/detection training can branch on sample provenance."""
+
+    def __init__(self, dataset, is_detection: int = 1):
+        self.dataset = dataset
+        self.is_detection = is_detection
+        self.texts = getattr(dataset, "texts", None)
+
+    def __len__(self):
+        return len(self.dataset)
+
+    def sample(self, idx: int) -> Dict:
+        out = dict(self.dataset.sample(idx))
+        out["is_detection"] = self.is_detection
+        return out
+
+
 def first_texts(texts: Sequence[Sequence[str]]) -> List[str]:
     """LoadText semantics: first synonym of each class (reference
     datasets/transformers/mm_transforms.py:107-135)."""

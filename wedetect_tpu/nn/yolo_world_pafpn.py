@@ -249,3 +249,46 @@ class YOLOWorldPAFPN(nn.Module):
                 num_blocks=self.num_csp_blocks, dtype=self.dtype,
                 name=f"bottom_up{idx}")(cat, text, train))
         return tuple(outs)
+
+
+class VanillaSigmoidBlock(nn.Module):
+    """Projection-only 'attention' block (reference
+    yolo_bricks.py:651-694 — the sigmoid gating is commented out
+    upstream, leaving a plain conv that ignores the guide)."""
+
+    out_ch: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        del guide
+        return ConvBN(self.out_ch, 3, 1, None, dtype=self.dtype,
+                      name="project_conv", **BN_KW)(x, train)
+
+
+class EfficientCSPLayerWithTwoConv(nn.Module):
+    """CSP layer whose extra branch is a VanillaSigmoidBlock
+    (reference yolo_bricks.py:696-749)."""
+
+    out_ch: int
+    expand_ratio: float = 0.5
+    num_blocks: int = 1
+    add_identity: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, guide, train: bool = False):
+        mid = int(self.out_ch * self.expand_ratio)
+        y = ConvBN(2 * mid, 1, 1, "silu", dtype=self.dtype,
+                   name="main_conv", **BN_KW)(x, train)
+        parts = [y[..., :mid], y[..., mid:]]
+        for i in range(self.num_blocks):
+            parts.append(DarknetBottleneck(
+                mid, add_identity=self.add_identity, dtype=self.dtype,
+                name=f"block{i}")(parts[-1], train))
+        parts.append(VanillaSigmoidBlock(
+            mid, dtype=self.dtype, name="attn_block")(
+                parts[-1], guide, train))
+        cat = jnp.concatenate(parts, axis=-1)
+        return ConvBN(self.out_ch, 1, 1, "silu", dtype=self.dtype,
+                      name="final_conv", **BN_KW)(cat, train)

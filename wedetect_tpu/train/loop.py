@@ -29,6 +29,11 @@ class TrainLoopCfg:
     ckpt_dir: Optional[str] = None
     mosaic_prob: float = 0.0
     mixup_prob: float = 0.0
+    # jax.profiler trace: dump a trace of steps
+    # [profile_start, profile_start + profile_steps) to profile_dir
+    profile_dir: Optional[str] = None
+    profile_start: int = 20
+    profile_steps: int = 5
 
 
 def make_batch_iterator(cfg: ModelCfg, loop_cfg: TrainLoopCfg,
@@ -98,6 +103,13 @@ def run_training(cfg: ModelCfg, state: TrainState,
     t0 = time.time()
     window: List[float] = []
     for step in range(loop_cfg.steps):
+        if loop_cfg.profile_dir is not None:
+            import jax
+
+            if step == loop_cfg.profile_start:
+                jax.profiler.start_trace(loop_cfg.profile_dir)
+            elif step == loop_cfg.profile_start + loop_cfg.profile_steps:
+                jax.profiler.stop_trace()
         batch = next(batches)
         if mesh is not None:
             batch = Batch(*shard_batch(mesh, tuple(batch)))
