@@ -69,3 +69,38 @@ def fold_conv_bn(variables: Dict) -> Dict:
     out["params"] = params
     out["batch_stats"] = stats
     return out
+
+
+def bake_text_head(variables: Dict, text_embeds,
+                   normalize: bool = True):
+    """Bake BN + text bank into per-level 1x1-conv weights.
+
+    The reparameterized RepBNContrastiveHead form (reference
+    yolo_world_head.py:112-134 + reparameterize): at inference the
+    contrastive scoring  sigmoid_logits = BN(e) . L2norm(T)^T * e^s + b
+    collapses into  e @ W^T + c  with
+        W = e^s * L2norm(T) * bn_k      (K, C)
+        c = e^s * L2norm(T) @ bn_b + b  (K,)
+    Returns {level: {"weight": (K, C), "bias": (K,)}} for scoring raw
+    (pre-BN) region embeddings.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    t = jnp.asarray(np.asarray(text_embeds, np.float32))
+    if normalize:
+        t = t / jnp.linalg.norm(t, axis=-1, keepdims=True)
+    head = variables["params"]["head"]
+    stats = variables["batch_stats"]["head"]
+    out = {}
+    for name, p in head.items():
+        if not name.startswith("contrast"):
+            continue
+        s = stats[name]["norm"]
+        k = p["norm"]["scale"] * jax.lax.rsqrt(s["var"] + HEAD_EPS)
+        shift = p["norm"]["bias"] - s["mean"] * k
+        es = jnp.exp(p["logit_scale"])
+        weight = es * t * k[None, :]
+        bias = es * (t @ shift) + p["bias"]
+        out[name] = {"weight": weight, "bias": bias}
+    return out

@@ -101,3 +101,21 @@ def detection_loss(cfg: ModelCfg,
     total = (loss_cls + loss_bbox + loss_dfl) * loss_scale
     return DetLosses(total=total, cls=loss_cls, bbox=loss_bbox,
                      dfl=loss_dfl, num_pos=fg.sum())
+
+
+def cov_mse_loss(pred: jax.Array, dim: int = 0,
+                 eps: float = 1e-6) -> jax.Array:
+    """Coefficient-of-variation MSE against zero.
+
+    Behavioral spec: reference wedetect/models/losses/dynamic_loss.py
+    :12-38 (CoVMSELoss, registered but unused by shipped configs):
+    cov = std/clip(mean, eps) along `dim`; loss = mean(cov^2).
+    Uses the torch-default unbiased (ddof=1) std.
+    """
+    pred = pred.astype(jnp.float32)
+    n = pred.shape[dim]
+    mean = pred.mean(axis=dim)
+    var = jnp.sum(jnp.square(pred - jnp.expand_dims(mean, dim)),
+                  axis=dim) / jnp.maximum(n - 1, 1)
+    cov = jnp.sqrt(var) / jnp.maximum(mean, eps)
+    return jnp.mean(jnp.square(cov))
