@@ -11,6 +11,7 @@ import pytest
     ("extract_embedding", ["--ann", "a.json", "--img-root", "r"]),
     ("infer_wedetect_ref", ["--image", "x.jpg", "--query", "q"]),
     ("train", ["--ann", "a.json", "--img-root", "r"]),
+    ("eval_odinw", ["--root", "r"]),
 ])
 def test_cli_parses(mod, extra):
     import importlib
