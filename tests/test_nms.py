@@ -3,6 +3,7 @@ semantics: suppress same-class boxes with IoU strictly greater than the
 threshold, keep in descending score order)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from wedetect_tpu.ops.nms import batched_static_nms
@@ -137,3 +138,30 @@ def test_tiled_multi_tile_equivalence(rng=np.random.default_rng(7)):
         jnp.asarray(anchors), 0.5, 16, tile=8)
     got = np.asarray(ka)[np.asarray(kv)]
     np.testing.assert_array_equal(got, np.array(kept))
+
+
+def test_topk_threshold_matches_topk():
+    from wedetect_tpu.ops.nms import _topk_threshold
+
+    rng = np.random.default_rng(11)
+    n, k = 1 << 19, 3000
+    flat = rng.uniform(0, 1, n).astype(np.float32)
+    flat[rng.choice(n, n // 2, replace=False)] = -np.inf  # masked
+    want_v, want_i = jax.lax.top_k(jnp.asarray(flat), k)
+    got_v, got_i = _topk_threshold(jnp.asarray(flat), k)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v))
+    np.testing.assert_array_equal(np.asarray(got_i),
+                                  np.asarray(want_i))
+
+
+def test_topk_threshold_fewer_than_k():
+    from wedetect_tpu.ops.nms import _topk_threshold
+
+    flat = np.full(1 << 18, -np.inf, np.float32)
+    flat[7] = 0.9
+    flat[11] = 0.5
+    v, i = _topk_threshold(jnp.asarray(flat), 100)
+    v, i = np.asarray(v), np.asarray(i)
+    assert v[0] == np.float32(0.9) and i[0] == 7
+    assert v[1] == np.float32(0.5) and i[1] == 11
+    assert (v[2:] == -np.inf).all()

@@ -211,6 +211,51 @@ def _greedy_nms_tiled(boxes, scores, labels, anchors, iou_thr, max_out,
     return kb, ks, kl, ka, kv
 
 
+def _topk_threshold(flat: jax.Array, k: int, iters: int = 42):
+    """Exact-to-f32-ulp top-k over a huge score array in [0, 1].
+
+    lax.top_k is sort-based: O(N log N) over all N=A*K candidates
+    (213 ms at LVIS scale, N=10.75M). Since post-sigmoid scores live
+    in [0, 1], the k-th value can instead be found by threshold
+    BISECTION (iters passes of count(flat > t), bandwidth-bound), the
+    <=k survivors located with a cumsum + searchsorted compaction, and
+    only those k sorted. ~20x faster at LVIS scale.
+
+    Equivalent to lax.top_k up to ties exactly at the k-th value
+    (bisection converges below f32 spacing, so only true ties differ —
+    the same arbitrary-tie freedom torch.sort has). Returns
+    (scores (k,), indices (k,)) sorted descending; empty slots -inf.
+    """
+    n = flat.shape[0]
+
+    def body(_, st):
+        lo, hi = st
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum(flat > mid)
+        too_many = cnt > k
+        return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(
+        0, iters, body, (jnp.float32(-1e-9), jnp.float32(1.0)))
+    mask = flat > hi                         # count <= k
+    csum = jnp.cumsum(mask.astype(jnp.int32))
+    m = csum[-1]
+    # index of the (j+1)-th selected element, original order
+    sel = jnp.searchsorted(csum, jnp.arange(1, k + 1), side="left")
+    valid = jnp.arange(k) < m
+    sel = jnp.clip(sel, 0, n - 1)
+    vals = jnp.where(valid, flat[sel], -jnp.inf)
+    order = jnp.argsort(-vals, stable=True)
+    return vals[order], sel[order].astype(jnp.int32)
+
+
+# use the bisection path above this many candidates; below it
+# lax.top_k's sort is cheaper (measured crossover on v5e: the K=80
+# detector pipeline, N=672k, runs faster with the plain sort; the
+# LVIS-scale N=10.75M pipeline is ~1.9x faster with bisection)
+TOPK_THRESHOLD_MIN_N = 1 << 21
+
+
 def static_nms_single(scores_ak: jax.Array, boxes_a: jax.Array,
                       score_thr: float, nms_pre: int, iou_thr: float,
                       max_out: int, class_mask: jax.Array | None = None,
@@ -229,7 +274,10 @@ def static_nms_single(scores_ak: jax.Array, boxes_a: jax.Array,
         flat = scores_ak.reshape(a * k)
         flat = jnp.where(flat > score_thr, flat, -jnp.inf)
         nms_pre = min(nms_pre, a * k)
-        top_scores, top_idx = jax.lax.top_k(flat, nms_pre)
+        if a * k >= TOPK_THRESHOLD_MIN_N:
+            top_scores, top_idx = _topk_threshold(flat, nms_pre)
+        else:
+            top_scores, top_idx = jax.lax.top_k(flat, nms_pre)
         anchor_idx = top_idx // k
         label_idx = (top_idx % k).astype(jnp.int32)
     else:
