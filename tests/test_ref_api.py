@@ -48,7 +48,7 @@ def tiny():
 def test_pad_to_bucket():
     assert pad_to_bucket(10, (16, 32)) == 16
     assert pad_to_bucket(17, (16, 32)) == 32
-    assert pad_to_bucket(99, (16, 32)) == 32
+    assert pad_to_bucket(99, (16, 32)) == 99
 
 
 def test_ref_scorer(tiny, monkeypatch):
@@ -64,7 +64,8 @@ def test_ref_scorer(tiny, monkeypatch):
 
     monkeypatch.setattr(vp, "image_to_patches", fake_patches)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
-                       seq_buckets=(64, 128), query_batch=2)
+                       seq_buckets=(64, 128), query_batch=2,
+                       max_proposals=3)
     img = np.zeros((64, 64, 3), np.uint8)
     props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
                       [5, 20, 40, 64]], np.float32)

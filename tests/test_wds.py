@@ -63,10 +63,14 @@ def test_node_split(shards):
 
 def test_neg_queue():
     q = NegQueue(size=4)
-    q.update([["a"], ["b"]])
+    q.update([["a"], ["b"], ["object"]])
     out = q.enrich([["c"]])
+    # all pooled negatives appended (no cap); "object" dropped
     assert [t[0] for t in out] == ["c", "a", "b"]
-    # cap respected
-    q.update([["d"], ["e"], ["f"]])
-    out = q.enrich([["x"], ["y"], ["z"]])
-    assert len(out) <= 4
+    # pool itself downsamples to size
+    q.update([["d"], ["e"], ["f"], ["g"]])
+    assert len(q.queue) <= 4
+    # string-list form works too
+    q2 = NegQueue(size=4)
+    q2.update(["x", "y"])
+    assert q2.enrich(["y", "z"]) == ["y", "z", "x"]

@@ -123,9 +123,9 @@ def main(argv=None):
         boxes[:, 1::2] += pad[0]
         texts = s.get("texts") or [str(i) for i in
                                    range(args.num_classes)]
-        texts = (texts + [""] * args.num_classes)[:args.num_classes]
         return {"image": img, "gt_bboxes": boxes,
-                "gt_labels": s["gt_labels"], "texts": texts}
+                "gt_labels": s["gt_labels"],
+                "texts": texts[:args.num_classes]}
 
     # --- mesh / state ---------------------------------------------------
     mesh = make_mesh(data=-1, fsdp=args.fsdp)

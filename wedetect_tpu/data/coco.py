@@ -20,10 +20,6 @@ from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def self_cat2label_get(ds, cat_id):
-    return ds.cat2label.get(cat_id, -1)
-
-
 class CocoDetDataset:
     """Detection dataset over a COCO-format annotation file."""
 
@@ -57,9 +53,9 @@ class CocoDetDataset:
                 "width": img["width"], "height": img["height"],
                 "anns": anns,
                 # LVIS per-image category domains
-                "neg_cats": [self_cat2label_get(self, c) for c in
+                "neg_cats": [self.cat2label.get(c, -1) for c in
                              img.get("neg_category_ids", [])],
-                "not_exhaustive": [self_cat2label_get(self, c) for c in
+                "not_exhaustive": [self.cat2label.get(c, -1) for c in
                                    img.get(
                                        "not_exhaustive_category_ids",
                                        [])],

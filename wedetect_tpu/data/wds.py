@@ -11,7 +11,6 @@ with shard resampling, per-process splitting, and bounded retry.
 
 from __future__ import annotations
 
-import collections
 import glob
 import io
 import json
@@ -22,25 +21,39 @@ import numpy as np
 
 
 class NegQueue:
-    """Shared queue of recent class texts used as negatives
-    (reference weref.py NegQueue, size 80)."""
+    """Shared pool of recent class texts used as negatives.
 
-    def __init__(self, size: int = 80):
+    Behavioral spec (reference wedetect/datasets/weref.py:22-44):
+    a SET of texts randomly downsampled to `size` when it overflows;
+    the literal placeholder "object" is never kept; enrich() appends
+    ALL pooled texts not already present (no cap on the output).
+    """
+
+    def __init__(self, size: int = 80, seed: int = 0):
         self.size = size
-        self.queue: collections.deque = collections.deque(maxlen=size)
+        self.queue: set = set()
+        self.rng = np.random.default_rng(seed)
 
-    def enrich(self, class_texts: List[List[str]]) -> List[List[str]]:
-        have = {t[0] for t in class_texts}
-        out = list(class_texts)
-        for t in self.queue:
-            if t[0] not in have and len(out) < self.size:
-                out.append(t)
-                have.add(t[0])
-        return out
+    def enrich(self, class_texts):
+        if not class_texts:
+            return [[t] for t in sorted(self.queue)]
+        if isinstance(class_texts[0], str):
+            have = set(class_texts)
+            return list(class_texts) + sorted(self.queue - have)
+        have = {t for syns in class_texts for t in syns}
+        return list(class_texts) + [[t]
+                                    for t in sorted(self.queue - have)]
 
-    def update(self, class_texts: Sequence[Sequence[str]]) -> None:
+    def update(self, class_texts) -> None:
+        flat = []
         for t in class_texts:
-            self.queue.append(list(t))
+            flat.extend([t] if isinstance(t, str) else t)
+        self.queue.update(flat)
+        if len(self.queue) > self.size:
+            self.queue = set(
+                self.rng.choice(sorted(self.queue), self.size,
+                                replace=False).tolist())
+        self.queue.discard("object")
 
 
 def iter_tar_samples(path: str) -> Iterator[Dict[str, bytes]]:

@@ -28,7 +28,7 @@ def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    return n  # beyond the largest bucket: use the exact length
 
 
 @dataclasses.dataclass
@@ -71,15 +71,26 @@ class RefScorer:
 
         c = self.cfg
         h, w = image.shape[:2]
-        proposals = np.asarray(proposals, np.float32)[:self.max_proposals]
+        proposals = np.array(proposals, np.float32,
+                             copy=True)[:self.max_proposals]
         proposals[:, 0::2] = np.clip(proposals[:, 0::2], 0, w)
         proposals[:, 1::2] = np.clip(proposals[:, 1::2], 0, h)
         n = len(proposals)
+        # pad the proposal axis to the static max so the (expensive)
+        # prefill graph does not recompile per proposal count; padded
+        # slots point at a dummy box and are sliced off the output
+        n_pad = self.max_proposals
+        if n < n_pad:
+            proposals = np.concatenate(
+                [proposals,
+                 np.tile(proposals[-1:] if n else
+                         np.array([[0, 0, 1, 1]], np.float32),
+                         (n_pad - n, 1))])
 
         patches, gh, gw = image_to_patches(image)
         n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
 
-        seqs = [self.build_sequence(q, n_img, n) for q in queries]
+        seqs = [self.build_sequence(q, n_img, n_pad) for q in queries]
         max_len = max(len(s) for s in seqs)
         l = pad_to_bucket(max_len, self.seq_buckets)
         ids = np.full((len(seqs), l), pad_token_id, np.int32)
@@ -89,8 +100,7 @@ class RefScorer:
             mask[i, :len(s)] = 1
         visual_start = int(np.nonzero(seqs[0] == c.image_token_id)[0][0])
         obj_pos = np.stack([
-            np.pad(np.nonzero(s == c.object_token_id)[0],
-                   (0, 0))[:n] if len(s) else np.zeros(n, np.int64)
+            np.nonzero(s == c.object_token_id)[0][:n_pad]
             for s in seqs]).astype(np.int32)
         pos = np.stack([
             np.pad(get_rope_index_single_image(
@@ -98,7 +108,7 @@ class RefScorer:
                 ((0, 0), (0, l - len(s))))
             for s in seqs], axis=1)                  # (3, Q, L)
 
-        out = np.zeros((len(seqs), n), np.float32)
+        out = np.zeros((len(seqs), n_pad), np.float32)
         bsz = self.query_batch
         for st in range(0, len(seqs), bsz):
             en = min(st + bsz, len(seqs))
@@ -120,4 +130,4 @@ class RefScorer:
                 jnp.asarray(np.array([w, h], np.float32)),
                 jnp.asarray(objb))
             out[sl] = np.asarray(logits)[:en - st]
-        return 1.0 / (1.0 + np.exp(-out))
+        return 1.0 / (1.0 + np.exp(-out[:, :n]))

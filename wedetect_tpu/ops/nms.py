@@ -8,11 +8,10 @@ fixed-shape XLA program:
 
 1. multi-label expansion: scores (A, K) -> A*K candidates
    (anchor a, class k); candidates with score <= score_thr are masked.
-2. `lax.top_k` keeps nms_pre candidates.
-3. greedy class-aware NMS as `max_out` iterations of
-   (argmax over alive) -> (suppress same-class IoU > thr), which is
-   exactly equivalent to sorted greedy NMS: the t-th argmax pick equals
-   the t-th kept box of the sorted sweep.
+2. `lax.top_k` (or exact bit-bisection above 2^21 candidates) keeps
+   nms_pre candidates.
+3. exact greedy class-aware NMS over score-sorted tiles
+   (_greedy_nms_tiled).
 
 Everything is padded: outputs are fixed (max_out,) slots with a
 validity mask.
@@ -32,61 +31,6 @@ class NMSResult(NamedTuple):
     labels: jax.Array   # (B, max_out) int32
     anchors: jax.Array  # (B, max_out) int32 — source anchor index
     valid: jax.Array    # (B, max_out) bool
-
-
-def _pairwise_iou_1_to_n(box: jax.Array, boxes: jax.Array) -> jax.Array:
-    """IoU of one (4,) box against (N, 4) boxes -> (N,)."""
-    lt = jnp.maximum(box[0:2], boxes[:, 0:2])
-    rb = jnp.minimum(box[2:4], boxes[:, 2:4])
-    wh = jnp.clip(rb - lt, 0)
-    inter = wh[:, 0] * wh[:, 1]
-    area1 = jnp.clip(box[2] - box[0], 0) * jnp.clip(box[3] - box[1], 0)
-    area2 = (jnp.clip(boxes[:, 2] - boxes[:, 0], 0)
-             * jnp.clip(boxes[:, 3] - boxes[:, 1], 0))
-    union = area1 + area2 - inter
-    return jnp.where(union > 0, inter / union, 0.0)
-
-
-def _greedy_nms(boxes, scores, labels, anchors, iou_thr, max_out):
-    """Single-image greedy NMS over pre-sorted/masked candidates.
-
-    boxes (N, 4), scores (N,) with masked-out candidates at -inf,
-    labels/anchors (N,) int32. Returns fixed (max_out,) slots.
-    """
-    n = scores.shape[0]
-    neg_inf = jnp.float32(-jnp.inf)
-
-    def body(i, carry):
-        s, ob, os_, ol, oa = carry
-        best = jnp.argmax(s)
-        bscore = s[best]
-        bbox = boxes[best]
-        blabel = labels[best]
-        keep_valid = bscore > neg_inf
-
-        ob = ob.at[i].set(jnp.where(keep_valid, bbox, 0.0))
-        os_ = os_.at[i].set(jnp.where(keep_valid, bscore, neg_inf))
-        ol = ol.at[i].set(jnp.where(keep_valid, blabel, -1))
-        oa = oa.at[i].set(jnp.where(keep_valid, anchors[best], -1))
-
-        iou = _pairwise_iou_1_to_n(bbox, boxes)
-        suppress = (iou > iou_thr) & (labels == blabel)
-        suppress = suppress | (jnp.arange(n) == best)
-        s = jnp.where(suppress & keep_valid, neg_inf, s)
-        # if nothing valid remains, keep s unchanged (all -inf anyway)
-        return s, ob, os_, ol, oa
-
-    init = (
-        scores,
-        jnp.zeros((max_out, 4), boxes.dtype),
-        jnp.full((max_out,), neg_inf, jnp.float32),
-        jnp.full((max_out,), -1, jnp.int32),
-        jnp.full((max_out,), -1, jnp.int32),
-    )
-    _, ob, os_, ol, oa = jax.lax.fori_loop(0, max_out, body, init)
-    valid = os_ > neg_inf
-    os_ = jnp.where(valid, os_, 0.0)
-    return ob, os_, ol, oa, valid
 
 
 def _pairwise_iou_nn(a: jax.Array, b: jax.Array) -> jax.Array:
@@ -215,29 +159,32 @@ def _topk_threshold(flat: jax.Array, k: int, iters: int = 42):
     """Exact-to-f32-ulp top-k over a huge score array in [0, 1].
 
     lax.top_k is sort-based: O(N log N) over all N=A*K candidates
-    (213 ms at LVIS scale, N=10.75M). Since post-sigmoid scores live
-    in [0, 1], the k-th value can instead be found by threshold
-    BISECTION (iters passes of count(flat > t), bandwidth-bound), the
-    <=k survivors located with a cumsum + searchsorted compaction, and
-    only those k sorted. ~20x faster at LVIS scale.
+    (213 ms at LVIS scale, N=10.75M). The k-th value is instead found
+    by BISECTION on the bit pattern: for non-negative f32, the int32
+    bitcast is order-preserving, so 31 integer bisection steps (each a
+    bandwidth-bound count pass) locate the k-th value EXACTLY — down
+    to denormals; -inf-masked entries bitcast negative and never
+    match. The <=k survivors are located with a cumsum + searchsorted
+    compaction and only those k sorted. ~20x faster at LVIS scale.
 
-    Equivalent to lax.top_k up to ties exactly at the k-th value
-    (bisection converges below f32 spacing, so only true ties differ —
-    the same arbitrary-tie freedom torch.sort has). Returns
+    Exactly equivalent to lax.top_k up to ties at the k-th value
+    (the same arbitrary-tie freedom torch.sort has). Returns
     (scores (k,), indices (k,)) sorted descending; empty slots -inf.
     """
     n = flat.shape[0]
+    bits = jax.lax.bitcast_convert_type(flat, jnp.int32)
 
     def body(_, st):
         lo, hi = st
-        mid = (lo + hi) * 0.5
-        cnt = jnp.sum(flat > mid)
+        mid = (lo + hi) // 2
+        cnt = jnp.sum(bits > mid)
         too_many = cnt > k
         return jnp.where(too_many, mid, lo), jnp.where(too_many, hi, mid)
 
     lo, hi = jax.lax.fori_loop(
-        0, iters, body, (jnp.float32(-1e-9), jnp.float32(1.0)))
-    mask = flat > hi                         # count <= k
+        0, max(iters, 32), body,
+        (jnp.int32(-1), jnp.int32(0x7F800000)))
+    mask = bits > hi                         # count <= k
     csum = jnp.cumsum(mask.astype(jnp.int32))
     m = csum[-1]
     # index of the (j+1)-th selected element, original order

@@ -52,21 +52,28 @@ def make_batch_iterator(cfg: ModelCfg, loop_cfg: TrainLoopCfg,
     g = cfg.train.max_gt_per_image
 
     def build_one(rng: np.random.Generator) -> Dict:
-        from wedetect_tpu.data.augment import mixup2, mosaic4
+        from wedetect_tpu.data.augment import (merge_mixed_texts,
+                                               mixup2, mosaic4)
 
         s = sample_fn(rng)
         if loop_cfg.mosaic_prob and rng.uniform() < loop_cfg.mosaic_prob:
             import cv2
 
+            # remap every part's labels into the union text list
+            # BEFORE mixing (reference _update_label_text semantics)
             parts = [s] + [sample_fn(rng) for _ in range(3)]
+            union, parts = merge_mixed_texts(parts)
             m = mosaic4(parts, img_scale=max(h, w) // 2, rng=rng)
             img = cv2.resize(m["image"], (w, h),
                              interpolation=cv2.INTER_LINEAR)
             r = w / m["image"].shape[1]
             s = {"image": img, "gt_bboxes": m["gt_bboxes"] * r,
-                 "gt_labels": m["gt_labels"], "texts": s.get("texts")}
+                 "gt_labels": m["gt_labels"], "texts": union}
         if loop_cfg.mixup_prob and rng.uniform() < loop_cfg.mixup_prob:
-            s = mixup2(s, sample_fn(rng), rng)
+            other = sample_fn(rng)
+            union, (s2, other) = merge_mixed_texts([s, other])
+            s = mixup2(s2, other, rng)
+            s["texts"] = union
         return s
 
     rng0 = np.random.default_rng(seed)
@@ -81,13 +88,29 @@ def make_batch_iterator(cfg: ModelCfg, loop_cfg: TrainLoopCfg,
             gtb = np.zeros((len(samples), g, 4), np.float32)
             gtl = np.zeros((len(samples), g), np.int32)
             gtm = np.zeros((len(samples), g), bool)
+            # per-sample text banks: every sample carries its OWN
+            # (shuffled, sampled) class list, so embeddings must be
+            # per-row (B, K, C) — sharing row 0's bank would score
+            # other rows' labels against the wrong classes. K is the
+            # STATIC config class count (a varying K would recompile
+            # the train graph); gts whose labels exceed it are dropped
+            # (the reference's RandomLoadText unsampled-class
+            # behavior).
+            k_max = cfg.num_classes
+            embs = []
             for i, s in enumerate(samples):
-                n = min(len(s["gt_bboxes"]), g)
-                gtb[i, :n] = np.asarray(s["gt_bboxes"])[:n]
-                gtl[i, :n] = np.asarray(s["gt_labels"])[:n]
+                texts = list(s.get("texts") or [])
+                labels = np.asarray(s["gt_labels"])
+                boxes = np.asarray(s["gt_bboxes"]).reshape(-1, 4)
+                keep = labels < k_max
+                labels, boxes = labels[keep], boxes[keep]
+                n = min(len(boxes), g)
+                gtb[i, :n] = boxes[:n]
+                gtl[i, :n] = labels[:n]
                 gtm[i, :n] = True
-            texts = samples[0].get("texts")
-            w_emb = text_embed_fn(texts)
+                texts = (texts + [""] * k_max)[:k_max]
+                embs.append(text_embed_fn(texts))
+            w_emb = np.stack(embs)            # (B, K, C)
             yield Batch(images=images, texts=w_emb, gt_bboxes=gtb,
                         gt_labels=gtl, gt_mask=gtm)
             step += 1
@@ -114,11 +137,14 @@ def run_training(cfg: ModelCfg, state: TrainState,
         if mesh is not None:
             batch = Batch(*shard_batch(mesh, tuple(batch)))
         state, metrics = train_step(cfg, state, batch)
-        window.append(float(metrics["loss"]))
+        # keep the loss as a device scalar — converting here would
+        # synchronize every step and serialize host data building
+        # against device compute
+        window.append(metrics["loss"])
         if (step + 1) % loop_cfg.log_every == 0:
             msg = {
                 "step": step + 1,
-                "loss": float(np.mean(window)),
+                "loss": float(np.mean([float(x) for x in window])),
                 "num_pos": float(metrics["num_pos"]),
                 "img_per_s": loop_cfg.log_every
                 * batch.images.shape[0] / max(time.time() - t0, 1e-9),

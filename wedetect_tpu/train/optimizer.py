@@ -58,9 +58,12 @@ def make_optimizer(params: Any,
                    ) -> optax.GradientTransformation:
     """AdamW with masked, batch-scaled weight decay.
 
-    custom_lr_mults: {substring: mult} applied to params whose path
-    contains the substring (reference custom_keys semantics; e.g.
-    {"backbone/text": 0.01} mirrors text-tower lr scaling).
+    custom_lr_mults: {key: mult} applied to params whose path
+    contains `key` as a full path SEGMENT (or segment-sequence when
+    the key contains "/"). Segment matching avoids substring
+    collisions — e.g. the key "vision" must not catch
+    "extras/object_vision_projector" (reference custom_keys
+    semantics, yolow_v5_optim_constructor.py:44-76).
     """
     wd = weight_decay * total_batch_size / base_total_batch_size
     lr = lr_schedule if lr_schedule is not None else base_lr
@@ -73,10 +76,12 @@ def make_optimizer(params: Any,
         wd, mask=lambda p: decay_mask(p)))
     if custom_lr_mults:
         def mult_fn(path, x):
-            s = _path_str(path)
+            segs = _path_str(path).split("/")
             m = 1.0
             for key, v in custom_lr_mults.items():
-                if key in s:
+                ks = key.split("/")
+                if any(segs[i:i + len(ks)] == ks
+                       for i in range(len(segs) - len(ks) + 1)):
                     m = v
             return m
 
