@@ -34,6 +34,11 @@ class AssignResult(NamedTuple):
     bboxes: jax.Array    # (B, A, 4) assigned gt boxes (image units)
     scores: jax.Array    # (B, A, K) soft target scores
     fg_mask: jax.Array   # (B, A) bool
+    # assigned gt index per anchor — the extra output of
+    # YOLOWorldSegAssigner (reference task_aligned_assigner.py:15-114,
+    # identical to the box assigner otherwise; lets seg losses gather
+    # per-gt masks)
+    gt_idx: jax.Array    # (B, A) int32
 
 
 def _topk_mask(metrics: jax.Array, topk: int, valid: jax.Array
@@ -119,4 +124,5 @@ def assign(pred_bboxes: jax.Array, pred_scores: jax.Array,
     scores = onehot * norm
 
     return AssignResult(labels=labels.astype(jnp.int32), bboxes=bboxes,
-                        scores=scores, fg_mask=fg_mask)
+                        scores=scores, fg_mask=fg_mask,
+                        gt_idx=assigned_gt.astype(jnp.int32))
