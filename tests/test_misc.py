@@ -1,0 +1,57 @@
+"""Coverage for small utility modules."""
+
+import numpy as np
+import pytest
+
+from wedetect_tpu.nn.pseudo_text import PseudoTextBackbone
+from wedetect_tpu.utils.vis import draw_detections, visualize_batch
+
+
+def test_pseudo_text_backbone():
+    table = {"cat": np.array([3.0, 4.0]), "dog": np.array([1.0, 0.0])}
+    bb = PseudoTextBackbone(table=table)
+    out = bb(["cat", "dog"])
+    np.testing.assert_allclose(out[0], [0.6, 0.8])
+    np.testing.assert_allclose(np.linalg.norm(out, axis=-1), 1.0)
+    raw = PseudoTextBackbone(table=table, normalize=False)(["cat"])
+    np.testing.assert_allclose(raw[0], [3.0, 4.0])
+
+
+def test_draw_and_batch_vis(tmp_path):
+    img = np.zeros((40, 60, 3), np.uint8)
+    out = draw_detections(img, np.array([[5, 5, 30, 30]]),
+                          np.array([0.9]), np.array([0]),
+                          class_names=["red"])
+    assert out.size == (60, 40)
+
+    from wedetect_tpu.train.train_step import Batch
+
+    batch = Batch(
+        images=np.zeros((2, 40, 60, 3), np.uint8),
+        texts=np.zeros((2, 2), np.float32),
+        gt_bboxes=np.array([[[5, 5, 30, 30]], [[0, 0, 10, 10]]],
+                           np.float32),
+        gt_labels=np.zeros((2, 1), np.int32),
+        gt_mask=np.ones((2, 1), bool))
+    paths = visualize_batch(batch, class_texts=["a", "b"],
+                            out_dir=str(tmp_path))
+    assert len(paths) == 2
+    import os
+
+    assert all(os.path.exists(p) for p in paths)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from wedetect_tpu.ckpt.io import (latest_checkpoint,
+                                      load_checkpoint, save_checkpoint)
+
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+    save_checkpoint(str(tmp_path / "step_10"), tree)
+    save_checkpoint(str(tmp_path / "step_2"), tree)
+    assert latest_checkpoint(str(tmp_path)).endswith("step_10")
+    back = load_checkpoint(str(tmp_path / "step_10"))
+    np.testing.assert_allclose(np.asarray(back["a"]),
+                               np.arange(5.0))
+    np.testing.assert_allclose(np.asarray(back["b"]["c"]), 1.0)
