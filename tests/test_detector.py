@@ -125,3 +125,18 @@ def test_xlarge_down_proj():
         np.zeros((1, 64, 64, 3), np.uint8)),
         jnp.asarray(np.zeros((4, cfg.embed_dims), np.float32)))
     assert np.isfinite(np.asarray(out.logits)).all()
+
+
+def test_class_mask_bucketing(cfg, variables):
+    """padded class lanes (class_mask False) never produce detections."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 255, (1, 64, 64, 3)).astype(np.uint8)
+    w = rng.standard_normal((4, cfg.embed_dims)).astype(np.float32)
+    mask = np.array([True, True, False, False])
+    det = detect_step(cfg, variables, jnp.asarray(imgs), jnp.asarray(w),
+                      jnp.asarray(np.ones((1, 2), np.float32)),
+                      jnp.asarray(np.zeros((1, 4), np.float32)),
+                      jnp.asarray(np.full((1, 2), 64.0, np.float32)),
+                      jnp.asarray(mask))
+    labels = np.asarray(det.labels[0])[np.asarray(det.valid[0])]
+    assert (labels < 2).all()

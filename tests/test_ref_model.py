@@ -143,3 +143,44 @@ def test_focal_loss_parity(ref_model, rng):
     got = float(sigmoid_focal_loss(jnp.asarray(logits),
                                    jnp.asarray(targets)))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_object_projector_meanpool_branch(rng):
+    """hidden > 4000 switches the object projector to mean-pool
+    (the 4B config path — reference qwen3vl_referring.py:232-237)."""
+    import jax
+
+    from wedetect_tpu.models.ref import RefModules
+    from wedetect_tpu.nn.qwen3vl import RefCfg, RefTextCfg, RefVisionCfg
+
+    cfg = RefCfg(
+        vision=RefVisionCfg(depth=2, hidden=32, heads=4,
+                            intermediate=64, patch=4, temporal_patch=2,
+                            merge=2, out_hidden=4096, num_pos_emb=64,
+                            deepstack_idx=(0, 1)),
+        text=RefTextCfg(vocab_size=64, hidden=4096, layers=1, heads=4,
+                        kv_heads=2, head_dim=16, intermediate=64,
+                        rope_theta=1000.0, mrope_section=(4, 2, 2)),
+        image_token_id=50, vision_start_token_id=51,
+        object_token_id=52)
+    gh = gw = 4
+    mod = RefModules(cfg, gh, gw)
+    l, n_img, n_obj = 16, 4, 2
+    ids = np.zeros((1, l), np.int32)
+    ids[:, 1] = 51
+    ids[:, 2:2 + n_img] = 50
+    ids[:, 10:12] = 52
+    args = (np.zeros((gh * gw, 3 * 2 * 4 * 4), np.float32), ids,
+            np.ones((1, l), np.int32),
+            np.zeros((3, 1, l), np.int32),
+            np.array([[0, 0, 10, 10], [2, 2, 8, 8]], np.float32),
+            np.array([16.0, 16.0], np.float32), 2,
+            np.array([[10, 11]], np.int32))
+    variables = mod.init(jax.random.PRNGKey(0), *args)
+    # mean-pool branch: projector input dim == hidden (not 49*hidden)
+    k = variables["params"]["extras"]["object_vision_projector"][
+        "fc0"]["kernel"]
+    assert k.shape[0] == 4096
+    out = mod.apply(variables, *args)
+    assert out.shape == (1, 2)
+    assert np.isfinite(np.asarray(out)).all()
