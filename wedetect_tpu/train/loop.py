@@ -77,7 +77,10 @@ def make_batch_iterator(cfg: ModelCfg, loop_cfg: TrainLoopCfg,
         return s
 
     rng0 = np.random.default_rng(seed)
-    with cf.ThreadPoolExecutor(num_workers) as pool:
+    # no context manager: an abandoned generator would run the pool's
+    # __exit__ during interpreter teardown and crash in threading
+    pool = cf.ThreadPoolExecutor(num_workers)
+    if True:
         step = 0
         while True:
             seeds = rng0.integers(0, 2**31, loop_cfg.batch_size)
