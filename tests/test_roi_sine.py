@@ -89,3 +89,22 @@ def test_box_convert():
     b = jnp.asarray(np.array([[0.0, 0.0, 4.0, 8.0]], np.float32))
     np.testing.assert_allclose(np.asarray(box_xyxy_to_cxcywh(b)),
                                [[2, 4, 4, 8]])
+
+
+def test_grid_buckets():
+    from wedetect_tpu.data.vision_process import (image_to_patches,
+                                                  make_grid_buckets,
+                                                  snap_to_bucket)
+
+    buckets = make_grid_buckets(total_tokens=64)
+    assert all(h % 32 == 0 and w % 32 == 0 for h, w in buckets)
+    # aspect snapping picks the closest ratio
+    assert snap_to_bucket(100, 200, buckets)[0] / \
+        snap_to_bucket(100, 200, buckets)[1] < 1
+    img = np.zeros((123, 457, 3), np.uint8)
+    p1, gh1, gw1 = image_to_patches(img, grid_buckets=buckets)
+    img2 = np.zeros((130, 470, 3), np.uint8)
+    p2, gh2, gw2 = image_to_patches(img2, grid_buckets=buckets)
+    # both near-identical aspects -> same bucket -> same grid
+    assert (gh1, gw1) == (gh2, gw2)
+    assert p1.shape == p2.shape

@@ -56,19 +56,50 @@ def smart_resize(height: int, width: int, factor: int = 32,
     return h_bar, w_bar
 
 
+def make_grid_buckets(total_tokens: int = 1024, factor: int = 32,
+                      ratios=(0.33, 0.5, 0.67, 0.75, 1.0, 1.33, 1.5,
+                              2.0, 3.0)):
+    """A fixed set of (h, w) pixel sizes (~total_tokens patches each)
+    covering common aspect ratios — snapping images to these keeps the
+    jit cache small (one compile per bucket instead of per image)."""
+    out = []
+    for r in ratios:  # r = h/w
+        gw = max(1, round((total_tokens / r) ** 0.5))
+        gh = max(1, round(gw * r))
+        out.append((gh * factor, gw * factor))
+    return out
+
+
+def snap_to_bucket(h: int, w: int, buckets) -> Tuple[int, int]:
+    """Pick the bucket with the closest aspect ratio."""
+    ratio = h / w
+    return min(buckets, key=lambda b: abs(b[0] / b[1] - ratio))
+
+
 def image_to_patches(img: np.ndarray, patch: int = 16,
                      temporal_patch: int = 2, merge: int = 2,
                      min_pixels: Optional[int] = None,
-                     max_pixels: Optional[int] = None):
+                     max_pixels: Optional[int] = None,
+                     grid_buckets=None):
     """HWC uint8 RGB -> (patches (S, C*T*P*P) f32, grid_h, grid_w).
 
     Rows follow the Qwen processor order: merge-blocks row-major, then
     intra-block (m, m); each row flattened (C, T, P, P).
+
+    grid_buckets: optional list of (h, w) pixel sizes; the image is
+    resized to the closest-aspect bucket instead of the exact
+    smart_resize grid (bounds recompiles of downstream jitted graphs
+    at the cost of a small aspect distortion, comparable to
+    smart_resize's own factor-32 rounding).
     """
     import cv2
 
     h, w = img.shape[:2]
-    hb, wb = smart_resize(h, w, patch * merge, min_pixels, max_pixels)
+    if grid_buckets:
+        hb, wb = snap_to_bucket(h, w, grid_buckets)
+    else:
+        hb, wb = smart_resize(h, w, patch * merge, min_pixels,
+                              max_pixels)
     resized = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
     x = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
     x = x.transpose(2, 0, 1)                    # CHW

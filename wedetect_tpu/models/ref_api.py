@@ -39,6 +39,10 @@ class RefScorer:
     seq_buckets: Tuple[int, ...] = (512, 1024, 2048, 4096)
     query_batch: int = 8
     max_proposals: int = 100
+    # snap images to a fixed grid set -> one prefill compile per
+    # bucket instead of per image resolution (None = exact
+    # smart_resize grids)
+    grid_buckets: Optional[Tuple[Tuple[int, int], ...]] = None
 
     def build_sequence(self, query: str, n_img: int, n_obj: int
                        ) -> np.ndarray:
@@ -87,7 +91,8 @@ class RefScorer:
                          np.array([[0, 0, 1, 1]], np.float32),
                          (n_pad - n, 1))])
 
-        patches, gh, gw = image_to_patches(image)
+        patches, gh, gw = image_to_patches(
+            image, grid_buckets=self.grid_buckets)
         n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
 
         seqs = [self.build_sequence(q, n_img, n_pad) for q in queries]
