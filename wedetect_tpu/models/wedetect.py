@@ -173,7 +173,8 @@ def postprocess(cfg: ModelCfg, dec: DetectorOutputs,
                         ori_shape[:, 1], ori_shape[:, 0]], axis=-1)
     boxes = jnp.clip(boxes, 0.0, wh_max[:, None, :])
     embeds = jnp.take_along_axis(
-        dec.embeds, jnp.clip(res.anchors, 0)[..., None], axis=1)
+        dec.embeds, jnp.clip(res.anchors, 0)[..., None],
+        axis=1).astype(jnp.float32)
     return Detections(boxes=boxes, scores=res.scores, labels=res.labels,
                       embeds=embeds, anchors=res.anchors,
                       valid=res.valid)
