@@ -167,12 +167,15 @@ class RefModules(nn.Module):
     grid_h: int
     grid_w: int
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     def setup(self):
         self.vision = VisionModel(self.cfg.vision, grid_h=self.grid_h,
                                   grid_w=self.grid_w, dtype=self.dtype,
+                                  attn_impl=self.attn_impl,
                                   name="vision")
         self.text = TextModel(self.cfg.text, dtype=self.dtype,
+                              attn_impl=self.attn_impl,
                               name="text")
         self.embed = Embedder(self.cfg.text, dtype=self.dtype,
                               name="embed")
@@ -231,13 +234,15 @@ class RefModules(nn.Module):
         return jnp.take_along_axis(logits, object_positions, axis=1)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 12, 13))
 def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
                    patches, input_ids, attn_mask, position_ids,
                    visual_start: int, boxes_xyxy, ori_wh,
-                   object_positions):
+                   object_positions, dtype=jnp.float32,
+                   attn_impl: str = "auto"):
     """Jitted REC scoring: (B, N) proposal logits."""
-    return RefModules(cfg, grid_h, grid_w).apply(
+    return RefModules(cfg, grid_h, grid_w, dtype=dtype,
+                      attn_impl=attn_impl).apply(
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions)

@@ -43,6 +43,8 @@ class RefScorer:
     # bucket instead of per image resolution (None = exact
     # smart_resize grids)
     grid_buckets: Optional[Tuple[Tuple[int, int], ...]] = None
+    dtype: str = "float32"                 # "bfloat16" for deployment
+    attn_impl: str = "auto"                # flash on TPU by default
 
     def build_sequence(self, query: str, n_img: int, n_obj: int
                        ) -> np.ndarray:
@@ -92,7 +94,9 @@ class RefScorer:
                          (n_pad - n, 1))])
 
         patches, gh, gw = image_to_patches(
-            image, grid_buckets=self.grid_buckets)
+            image, patch=c.vision.patch,
+            temporal_patch=c.vision.temporal_patch,
+            merge=c.vision.merge, grid_buckets=self.grid_buckets)
         n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
 
         seqs = [self.build_sequence(q, n_img, n_pad) for q in queries]
@@ -133,6 +137,9 @@ class RefScorer:
                 jnp.asarray(posb), visual_start,
                 jnp.asarray(proposals),
                 jnp.asarray(np.array([w, h], np.float32)),
-                jnp.asarray(objb))
+                jnp.asarray(objb),
+                {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[self.dtype],
+                self.attn_impl)
             out[sl] = np.asarray(logits)[:en - st]
         return 1.0 / (1.0 + np.exp(-out[:, :n]))

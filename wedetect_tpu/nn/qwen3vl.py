@@ -37,6 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from wedetect_tpu.ops.attention import dot_product_attention
+
 Dtype = Any
 
 
@@ -183,9 +185,10 @@ def vision_pos_interp(grid_h: int, grid_w: int, side: int, merge: int):
 class VisionBlock(nn.Module):
     cfg: RefVisionCfg
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, cos, sin):
+    def __call__(self, x, cos, sin, valid=None):
         c = self.cfg
         s, _ = x.shape
         h, d = c.heads, c.head_dim
@@ -195,9 +198,10 @@ class VisionBlock(nn.Module):
         q, k, v = (t.reshape(s, h, d)
                    for t in jnp.split(qkv, 3, axis=-1))
         q, k = _apply_rope(q, k, cos[:, None, :], sin[:, None, :])
-        attn = jnp.einsum("qhd,khd->hqk", q, k).astype(jnp.float32)
-        attn = jax.nn.softmax(attn / math.sqrt(d), axis=-1)
-        o = jnp.einsum("hqk,khd->qhd", attn.astype(self.dtype), v)
+        o = dot_product_attention(
+            q[None], k[None], v[None], causal=False,
+            kv_valid=None if valid is None else valid[None],
+            sm_scale=1.0 / math.sqrt(d), impl=self.attn_impl)[0]
         o = nn.Dense(c.hidden, dtype=self.dtype,
                      name="proj")(o.reshape(s, c.hidden))
         x = x + o
@@ -241,6 +245,7 @@ class VisionModel(nn.Module):
     grid_h: int = 16
     grid_w: int = 16
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, patches):
@@ -266,17 +271,31 @@ class VisionModel(nn.Module):
         cos = jnp.asarray(np.cos(emb), jnp.float32)
         sin = jnp.asarray(np.sin(emb), jnp.float32)
 
+        # pad the token axis to a flash-tileable multiple of 128; pad
+        # rows carry segment id 0 so they never leak into real tokens
+        # (exact under the einsum fallback too: -1e9 bias underflows
+        # to an exact 0 softmax weight)
+        s = self.grid_h * self.grid_w
+        s_pad = -(-s // 128) * 128
+        valid = None
+        if s_pad != s:
+            x = jnp.pad(x, ((0, s_pad - s), (0, 0)))
+            cos = jnp.pad(cos, ((0, s_pad - s), (0, 0)))
+            sin = jnp.pad(sin, ((0, s_pad - s), (0, 0)))
+            valid = (jnp.arange(s_pad) < s).astype(jnp.int32)
+
         taps = []
         for i in range(c.depth):
             x = VisionBlock(c, dtype=self.dtype,
-                            name=f"block{i}")(x, cos, sin)
+                            attn_impl=self.attn_impl,
+                            name=f"block{i}")(x, cos, sin, valid)
             if i in c.deepstack_idx:
                 j = c.deepstack_idx.index(i)
                 taps.append(PatchMerger(c, postshuffle=True,
                                         dtype=self.dtype,
-                                        name=f"deepstack{j}")(x))
+                                        name=f"deepstack{j}")(x[:s]))
         out = PatchMerger(c, postshuffle=False, dtype=self.dtype,
-                          name="merger")(x)
+                          name="merger")(x[:s])
         return out, taps
 
 
@@ -304,9 +323,10 @@ def interleaved_mrope_cos_sin(position_ids: jax.Array,
 class TextLayer(nn.Module):
     cfg: RefTextCfg
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, cos, sin, mask_bias):
+    def __call__(self, x, cos, sin, kv_valid):
         c = self.cfg
         b, l, _ = x.shape
         y = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_ln")(x)
@@ -325,10 +345,9 @@ class TextLayer(nn.Module):
         g = c.heads // c.kv_heads
         k = jnp.repeat(k, g, axis=2)
         v = jnp.repeat(v, g, axis=2)
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
-        attn = attn / math.sqrt(c.head_dim) + mask_bias
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        o = dot_product_attention(
+            q, k, v, causal=True, kv_valid=kv_valid,
+            sm_scale=1.0 / math.sqrt(c.head_dim), impl=self.attn_impl)
         o = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
                      name="o_proj")(o.reshape(b, l, -1))
         x = x + o
@@ -352,6 +371,7 @@ class TextModel(nn.Module):
 
     cfg: RefTextCfg
     dtype: Dtype = jnp.float32
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, inputs_embeds, position_ids, attention_mask,
@@ -360,14 +380,11 @@ class TextModel(nn.Module):
         c = self.cfg
         b, l, _ = inputs_embeds.shape
         cos, sin = interleaved_mrope_cos_sin(position_ids, c)
-        causal = jnp.tril(jnp.ones((l, l), bool))
-        padm = attention_mask.astype(bool)
-        mask = causal[None, :, :] & padm[:, None, :]
-        bias = jnp.where(mask, 0.0, jnp.float32(-1e9))[:, None, :, :]
+        kv_valid = attention_mask.astype(jnp.int32)
         x = inputs_embeds.astype(self.dtype)
         for i in range(c.layers):
-            x = TextLayer(c, dtype=self.dtype, name=f"layer{i}")(
-                x, cos, sin, bias)
+            x = TextLayer(c, dtype=self.dtype, attn_impl=self.attn_impl,
+                          name=f"layer{i}")(x, cos, sin, kv_valid)
             if deepstack_embeds is not None and i < len(deepstack_embeds):
                 ds = deepstack_embeds[i].astype(self.dtype)
                 span = jax.lax.dynamic_slice_in_dim(

