@@ -33,12 +33,61 @@ WORKER = textwrap.dedent("""
 """)
 
 
-@pytest.mark.slow
-def test_two_process_gather(tmp_path):
+GROUNDING_WORKER = textwrap.dedent("""
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:%d",
+        num_processes=2, process_id=pid)
+    sys.path.insert(0, %r)
+    from wedetect_tpu.cli.eval_grounding import run_metrics
+    from wedetect_tpu.eval.dist import all_gather_object
+    from wedetect_tpu.eval.merge import merge_predictions
+    from wedetect_tpu.eval.runner import process_shard
+
+    # 4 refcoco items sharded 2 per process; each process scores its
+    # shard with merge_predictions and the rank-0 metric runs on the
+    # all-gathered results (the reference's InferenceSampler +
+    # all_gather_object + rank-0 metric protocol)
+    items = [
+        dict(id=i, dataset="refcoco_validation",
+             gt=[[0, 0, 10, 10]],
+             scores=np.array([[0.9, 0.2]]),
+             props=np.array([[0, 0, 10, 10], [50, 50, 60, 60]]
+                            if i %% 2 == 0 else
+                            [[50, 50, 60, 60], [0, 0, 10, 10]],
+                            np.float64))
+        for i in range(4)]
+    results = []
+    for i in process_shard(len(items)):
+        it = items[i]
+        boxes, labels, scores = merge_predictions(
+            it["scores"], it["props"], num_select=20)
+        results.append({"id": it["id"], "dataset": it["dataset"],
+                        "boxes": boxes, "labels": labels,
+                        "scores": scores, "gt_bboxes": it["gt"]})
+    merged = all_gather_object(results)
+    flat = [r for part in merged for r in part]
+    assert len(flat) == 4, len(flat)
+    if pid == 0:
+        import argparse
+        out = run_metrics("refcoco", flat, argparse.Namespace(ann=[]))
+        # even ids rank the matching box first (acc@1); odd ids only
+        # within top-2 (acc@5) -> acc@1 = 0.5, acc@5 = 1.0
+        assert out["refcoco_validation"]["acc@1"] == 0.5, out
+        assert out["refcoco_validation"]["acc@5"] == 1.0, out
+    print("WORKER_OK", pid, flush=True)
+""")
+
+
+def _run_two_workers(tmp_path, src, port):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    port = 29431
     script = tmp_path / "worker.py"
-    script.write_text(WORKER % (port, repo))
+    script.write_text(src % (port, repo))
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     procs = [subprocess.Popen(
         [sys.executable, str(script), str(i)],
@@ -55,3 +104,13 @@ def test_two_process_gather(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, out[-2000:]
         assert f"WORKER_OK {i}" in out
+
+
+@pytest.mark.slow
+def test_two_process_gather(tmp_path):
+    _run_two_workers(tmp_path, WORKER, 29431)
+
+
+@pytest.mark.slow
+def test_two_process_grounding_merge(tmp_path):
+    _run_two_workers(tmp_path, GROUNDING_WORKER, 29433)

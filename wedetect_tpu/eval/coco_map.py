@@ -204,7 +204,7 @@ class CocoEvaluator:
             valid = p > -1
             return float(p[valid].mean()) if valid.any() else float("nan")
 
-        return {
+        out = {
             "mAP": ap("all"),
             "AP50": ap("all", 0),
             "AP75": ap("all", 5),
@@ -212,3 +212,14 @@ class CocoEvaluator:
             "APm": ap("medium"),
             "APl": ap("large"),
         }
+        # per-class AP over the "all" range (COCOeval
+        # precision[:, :, i, 0, -1].mean() — the D3 per-length
+        # breakdown consumes this, dod_metric.py:94-101)
+        per_class = {}
+        for ci, cls in enumerate(classes):
+            p = precisions["all"][:, :, ci]
+            v = p > -1
+            per_class[int(cls)] = (float(p[v].mean()) if v.any()
+                                   else float("nan"))
+        out["per_class"] = per_class
+        return out

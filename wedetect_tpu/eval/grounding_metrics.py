@@ -127,3 +127,22 @@ def humanref_density_f1(results: Sequence[Dict],
         "rejection_acc": (rej_correct / rej_total
                           if rej_total else float("nan")),
     }
+
+
+def dod_length_breakdown(per_class_ap: Dict[int, float],
+                         cat_names: Dict[int, str]) -> Dict[str, float]:
+    """D3 mAP grouped by reference-sentence word count
+    (reference dod_metric.py:100-141): short 1-3 words, mid 4-6,
+    long 7-9, very long 10+. NaN APs (classes absent from the gt)
+    are skipped."""
+    bins: Dict[str, List[float]] = {"short": [], "mid": [], "long": [],
+                                    "very_long": []}
+    for cid, ap in per_class_ap.items():
+        if cid not in cat_names or np.isnan(ap):
+            continue
+        n = len(cat_names[cid].split(" "))
+        key = ("short" if n < 4 else "mid" if n < 7
+               else "long" if n < 10 else "very_long")
+        bins[key].append(ap)
+    return {f"mAP_{k}": (float(np.mean(v)) if v else float("nan"))
+            for k, v in bins.items()}
