@@ -33,6 +33,32 @@ def load_checkpoint(path: str, like: Optional[Any] = None) -> Any:
     return ckptr.restore(path, like)
 
 
+def save_train_state(path: str, state) -> None:
+    """Full training checkpoint: params + batch_stats + opt_state +
+    step (the reference's HF resume_from_checkpoint carries the same
+    — sft_referring.py:439-443)."""
+    save_checkpoint(path, {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    })
+
+
+def restore_train_state(path: str, state):
+    """Restore into an existing TrainState (provides structure and
+    shardings); returns the updated state."""
+    tree = load_checkpoint(path, {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    })
+    return state.replace(step=tree["step"], params=tree["params"],
+                         batch_stats=tree["batch_stats"],
+                         opt_state=tree["opt_state"])
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
     """Find the highest-numbered step directory under root
     (HF get_last_checkpoint semantics — sft_referring.py:439-443)."""

@@ -29,10 +29,21 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--lr-schedule", default="constant",
+                   choices=["constant", "cosine", "linear"])
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batches per optimizer update")
+    p.add_argument("--drop-path", type=float, default=0.0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest step_* under "
+                        "--ckpt-dir (params, opt state, step)")
     p.add_argument("--weight-decay", type=float, default=0.025)
     p.add_argument("--mosaic-prob", type=float, default=0.0)
     p.add_argument("--mixup-prob", type=float, default=0.0)
     p.add_argument("--num-classes", type=int, default=80)
+    p.add_argument("--img-size", type=int, default=0,
+                   help="override the config input size (e.g. 320)")
     p.add_argument("--ckpt-dir", default="")
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--fsdp", type=int, default=1)
@@ -58,11 +69,16 @@ def main(argv=None):
     from wedetect_tpu.train.loop import (TrainLoopCfg,
                                          make_batch_iterator,
                                          run_training)
-    from wedetect_tpu.train.optimizer import make_optimizer
+    from wedetect_tpu.train.optimizer import (make_lr_schedule,
+                                              make_optimizer,
+                                              with_grad_accum)
     from wedetect_tpu.train.train_step import TrainState
 
+    extra = ({"img_size": (args.img_size, args.img_size)}
+             if args.img_size else {})
     cfg = get_config(args.size, compute_dtype="bfloat16",
-                     num_classes=args.num_classes)
+                     num_classes=args.num_classes,
+                     drop_path_rate=args.drop_path, **extra)
     class_texts = (load_class_texts(args.class_texts)
                    if args.class_texts else None)
 
@@ -129,9 +145,15 @@ def main(argv=None):
 
     # --- mesh / state ---------------------------------------------------
     mesh = make_mesh(data=-1, fsdp=args.fsdp)
-    tx = make_optimizer(variables["params"], base_lr=args.lr,
-                        weight_decay=args.weight_decay,
-                        total_batch_size=args.batch_size)
+    schedule = make_lr_schedule(args.lr, args.steps,
+                                warmup_steps=args.warmup_steps,
+                                schedule=args.lr_schedule)
+    tx = with_grad_accum(
+        make_optimizer(variables["params"], base_lr=args.lr,
+                       weight_decay=args.weight_decay,
+                       total_batch_size=args.batch_size,
+                       lr_schedule=schedule),
+        args.grad_accum)
     state = TrainState.create(variables, tx)
     state = state.replace(
         params=jax.device_put(state.params,
@@ -139,6 +161,15 @@ def main(argv=None):
         batch_stats=replicate_tree(mesh, state.batch_stats),
         opt_state=jax.device_put(state.opt_state,
                                  fsdp_sharding(mesh, state.opt_state)))
+    if args.resume and args.ckpt_dir:
+        from wedetect_tpu.ckpt.io import (latest_checkpoint,
+                                          restore_train_state)
+
+        last = latest_checkpoint(args.ckpt_dir)
+        if last is not None:
+            state = restore_train_state(last, state)
+            print(f"resumed from {last} at step {int(state.step)}",
+                  flush=True)
 
     loop_cfg = TrainLoopCfg(
         steps=args.steps, batch_size=args.batch_size,

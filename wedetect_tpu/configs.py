@@ -92,6 +92,8 @@ class ModelCfg:
     neck_repeats: int = 12
     # optional 1x1 down-projection of the last backbone level (xlarge)
     backbone_down_proj: int = 0
+    # stochastic depth (training only; reference mm_backbone.py:94-124)
+    drop_path_rate: float = 0.0
     # head
     head_in_channels: Tuple[int, ...] = (128, 256, 512)
     embed_dims: int = 768

@@ -221,17 +221,22 @@ class RefModules(nn.Module):
             x, jnp.broadcast_to(img_tokens[None].astype(x.dtype),
                                 (b, v, d)),
             visual_start, axis=1)
-        # scatter object features at per-row positions
+        # scatter object features at per-row positions; -1 marks
+        # padded slots (training pads the proposal axis) — those keep
+        # the original token embedding
         bidx = jnp.arange(b)[:, None]
-        x = x.at[bidx, object_positions].set(
-            jnp.broadcast_to(obj[None].astype(x.dtype),
-                             (b,) + obj.shape))
+        pos = jnp.clip(object_positions, 0)
+        cur = x[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(x.dtype),
+                                          (b,) + obj.shape), cur)
+        x = x.at[bidx, pos].set(newv)
 
         hidden = self.text(x, position_ids, attn_mask,
                            deepstack_embeds=list(taps),
                            visual_start=visual_start)
         logits = self.extras.score(hidden)           # (B, L)
-        return jnp.take_along_axis(logits, object_positions, axis=1)
+        return jnp.take_along_axis(logits, pos, axis=1)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 12, 13))
@@ -249,17 +254,23 @@ def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
 
 
 def sigmoid_focal_loss(logits: jax.Array, targets: jax.Array,
-                       alpha: float = 0.25,
-                       gamma: float = 2.0) -> jax.Array:
+                       alpha: float = 0.25, gamma: float = 2.0,
+                       valid: Optional[jax.Array] = None) -> jax.Array:
     """Reference qwen3vl_referring.py:69-91: alpha-weighted focal
     terms, MEAN-reduced. (The reference computes an all-reduced
     positive count at the call site — :440-445 — but its focal
     function ignores that argument and returns the plain mean;
-    replicated faithfully.)"""
+    replicated faithfully.) `valid` masks static-shape padding; the
+    mean runs over valid elements only (equal to the reference's mean
+    over its dynamic-length tensor)."""
     p = jax.nn.sigmoid(logits)
     ce = (jnp.maximum(logits, 0) - logits * targets
           + jnp.log1p(jnp.exp(-jnp.abs(logits))))
     p_t = p * targets + (1 - p) * (1 - targets)
     loss = ce * ((1 - p_t) ** gamma)
     alpha_t = alpha * targets + (1 - alpha) * (1 - targets)
-    return (alpha_t * loss).mean()
+    loss = alpha_t * loss
+    if valid is None:
+        return loss.mean()
+    v = valid.astype(loss.dtype)
+    return (loss * v).sum() / jnp.maximum(v.sum(), 1.0)

@@ -64,8 +64,9 @@ class WeDetectModule(nn.Module):
     def setup(self):
         c = self.cfg
         dt = c.dtype
-        self.backbone = ConvNeXt(depths=c.depths, dims=c.dims, dtype=dt,
-                                 name="backbone")
+        self.backbone = ConvNeXt(depths=c.depths, dims=c.dims,
+                                 drop_path_rate=c.drop_path_rate,
+                                 dtype=dt, name="backbone")
         if c.backbone_down_proj:
             # xlarge c4 1x1 down-projection (reference
             # mm_backbone.py:278-301, down_mlp Conv2d(2048, 1024, 1))
@@ -114,7 +115,8 @@ class WeDetectModule(nn.Module):
             else:
                 # standalone Uni path uses the raw bank
                 normalize_w = False
-        feats = self.backbone(images.astype(c.dtype))
+        feats = self.backbone(images.astype(c.dtype),
+                              deterministic=not train)
         if c.backbone_down_proj:
             feats = feats[:3] + (self.down_mlp(feats[3]),)
         p3, p4, p5 = self.neck(feats, train=train)

@@ -43,14 +43,18 @@ class LayerNormF32(nn.Module):
 
 
 class ConvNeXtBlock(nn.Module):
-    """7x7 dwconv -> LN -> Linear(4x) -> GELU -> Linear -> gamma -> res."""
+    """7x7 dwconv -> LN -> Linear(4x) -> GELU -> Linear -> gamma ->
+    droppath -> res (reference mm_backbone.py:94-124; stochastic depth
+    zeroes the whole residual branch per sample, scaling survivors by
+    1/keep)."""
 
     dim: int
     layer_scale_init: float = 1e-6
+    drop_path: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
         inp = x
         x = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
                     feature_group_count=self.dim, use_bias=True,
@@ -66,6 +70,12 @@ class ConvNeXtBlock(nn.Module):
                 nn.initializers.constant(self.layer_scale_init),
                 (self.dim,), jnp.float32)
             x = x * gamma.astype(self.dtype)
+        if self.drop_path > 0 and not deterministic:
+            keep = 1.0 - self.drop_path
+            shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+            mask = jax.random.bernoulli(self.make_rng("dropout"),
+                                        keep, shape)
+            x = jnp.where(mask, x / keep, jnp.zeros_like(x))
         return inp + x
 
 
@@ -74,11 +84,18 @@ class ConvNeXt(nn.Module):
 
     depths: Tuple[int, ...] = (3, 3, 27, 3)
     dims: Tuple[int, ...] = (128, 256, 512, 1024)
+    drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, deterministic: bool = True):
+        # per-block rates linspaced 0..rate over all blocks
+        # (reference mm_backbone.py:214-216 dp_rates)
+        total = sum(self.depths)
+        rates = [self.drop_path_rate * k / max(total - 1, 1)
+                 for k in range(total)]
         outs = []
+        b = 0
         for i in range(4):
             if i == 0:
                 x = nn.Conv(self.dims[0], (4, 4), strides=(4, 4),
@@ -91,7 +108,10 @@ class ConvNeXt(nn.Module):
                             padding="VALID", use_bias=True,
                             dtype=self.dtype, name=f"down{i}_conv")(x)
             for j in range(self.depths[i]):
-                x = ConvNeXtBlock(self.dims[i], dtype=self.dtype,
-                                  name=f"stage{i}_block{j}")(x)
+                x = ConvNeXtBlock(self.dims[i], drop_path=rates[b],
+                                  dtype=self.dtype,
+                                  name=f"stage{i}_block{j}")(
+                    x, deterministic=deterministic)
+                b += 1
             outs.append(x)
         return tuple(outs)

@@ -80,43 +80,40 @@ def make_batch_iterator(cfg: ModelCfg, loop_cfg: TrainLoopCfg,
     # no context manager: an abandoned generator would run the pool's
     # __exit__ during interpreter teardown and crash in threading
     pool = cf.ThreadPoolExecutor(num_workers)
-    if True:
-        step = 0
-        while True:
-            seeds = rng0.integers(0, 2**31, loop_cfg.batch_size)
-            futs = [pool.submit(build_one, np.random.default_rng(int(sd)))
-                    for sd in seeds]
-            samples = [f.result() for f in futs]
-            images = np.stack([s["image"] for s in samples])
-            gtb = np.zeros((len(samples), g, 4), np.float32)
-            gtl = np.zeros((len(samples), g), np.int32)
-            gtm = np.zeros((len(samples), g), bool)
-            # per-sample text banks: every sample carries its OWN
-            # (shuffled, sampled) class list, so embeddings must be
-            # per-row (B, K, C) — sharing row 0's bank would score
-            # other rows' labels against the wrong classes. K is the
-            # STATIC config class count (a varying K would recompile
-            # the train graph); gts whose labels exceed it are dropped
-            # (the reference's RandomLoadText unsampled-class
-            # behavior).
-            k_max = cfg.num_classes
-            embs = []
-            for i, s in enumerate(samples):
-                texts = list(s.get("texts") or [])
-                labels = np.asarray(s["gt_labels"])
-                boxes = np.asarray(s["gt_bboxes"]).reshape(-1, 4)
-                keep = labels < k_max
-                labels, boxes = labels[keep], boxes[keep]
-                n = min(len(boxes), g)
-                gtb[i, :n] = boxes[:n]
-                gtl[i, :n] = labels[:n]
-                gtm[i, :n] = True
-                texts = (texts + [""] * k_max)[:k_max]
-                embs.append(text_embed_fn(texts))
-            w_emb = np.stack(embs)            # (B, K, C)
-            yield Batch(images=images, texts=w_emb, gt_bboxes=gtb,
-                        gt_labels=gtl, gt_mask=gtm)
-            step += 1
+    while True:
+        seeds = rng0.integers(0, 2**31, loop_cfg.batch_size)
+        futs = [pool.submit(build_one, np.random.default_rng(int(sd)))
+                for sd in seeds]
+        samples = [f.result() for f in futs]
+        images = np.stack([s["image"] for s in samples])
+        gtb = np.zeros((len(samples), g, 4), np.float32)
+        gtl = np.zeros((len(samples), g), np.int32)
+        gtm = np.zeros((len(samples), g), bool)
+        # per-sample text banks: every sample carries its OWN
+        # (shuffled, sampled) class list, so embeddings must be
+        # per-row (B, K, C) — sharing row 0's bank would score
+        # other rows' labels against the wrong classes. K is the
+        # STATIC config class count (a varying K would recompile
+        # the train graph); gts whose labels exceed it are dropped
+        # (the reference's RandomLoadText unsampled-class
+        # behavior).
+        k_max = cfg.num_classes
+        embs = []
+        for i, s in enumerate(samples):
+            texts = list(s.get("texts") or [])
+            labels = np.asarray(s["gt_labels"])
+            boxes = np.asarray(s["gt_bboxes"]).reshape(-1, 4)
+            keep = labels < k_max
+            labels, boxes = labels[keep], boxes[keep]
+            n = min(len(boxes), g)
+            gtb[i, :n] = boxes[:n]
+            gtl[i, :n] = labels[:n]
+            gtm[i, :n] = True
+            texts = (texts + [""] * k_max)[:k_max]
+            embs.append(text_embed_fn(texts))
+        w_emb = np.stack(embs)            # (B, K, C)
+        yield Batch(images=images, texts=w_emb, gt_bboxes=gtb,
+                    gt_labels=gtl, gt_mask=gtm)
 
 
 def run_training(cfg: ModelCfg, state: TrainState,
@@ -128,7 +125,8 @@ def run_training(cfg: ModelCfg, state: TrainState,
 
     t0 = time.time()
     window: List[float] = []
-    for step in range(loop_cfg.steps):
+    start = int(state.step)  # nonzero after a resume
+    for step in range(start, loop_cfg.steps):
         if loop_cfg.profile_dir is not None:
             import jax
 
@@ -157,10 +155,8 @@ def run_training(cfg: ModelCfg, state: TrainState,
             t0 = time.time()
         if (loop_cfg.ckpt_dir
                 and (step + 1) % loop_cfg.ckpt_every == 0):
-            from wedetect_tpu.ckpt.io import save_checkpoint
+            from wedetect_tpu.ckpt.io import save_train_state
 
-            save_checkpoint(
-                f"{loop_cfg.ckpt_dir}/step_{step + 1}",
-                {"params": state.params,
-                 "batch_stats": state.batch_stats})
+            save_train_state(f"{loop_cfg.ckpt_dir}/step_{step + 1}",
+                             state)
     return state

@@ -46,6 +46,41 @@ def decay_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(f, params)
 
 
+def make_lr_schedule(base_lr: float, total_steps: int,
+                     warmup_steps: int = 0,
+                     schedule: str = "cosine",
+                     final_lr_ratio: float = 0.01) -> optax.Schedule:
+    """Linear warmup from 0 then cosine/linear decay to
+    base_lr * final_lr_ratio (mmengine LinearLR warmup +
+    CosineAnnealingLR, the schedule family the reference's configs
+    use), or constant after warmup."""
+    decay_steps = max(total_steps - warmup_steps, 1)
+    end = base_lr * final_lr_ratio
+    if schedule == "cosine":
+        main = optax.cosine_decay_schedule(
+            base_lr, decay_steps, alpha=final_lr_ratio)
+    elif schedule == "linear":
+        main = optax.linear_schedule(base_lr, end, decay_steps)
+    elif schedule == "constant":
+        main = optax.constant_schedule(base_lr)
+    else:
+        raise ValueError(schedule)
+    if warmup_steps <= 0:
+        return main
+    warm = optax.linear_schedule(0.0, base_lr, warmup_steps)
+    return optax.join_schedules([warm, main], [warmup_steps])
+
+
+def with_grad_accum(tx: optax.GradientTransformation,
+                    accum_steps: int) -> optax.GradientTransformation:
+    """Gradient accumulation (the reference optimizer wrapper's
+    _accumulative_counts, yolow_v5_optim_constructor.py:160-196):
+    updates apply every `accum_steps` micro-batches."""
+    if accum_steps <= 1:
+        return tx
+    return optax.MultiSteps(tx, every_k_schedule=accum_steps)
+
+
 def make_optimizer(params: Any,
                    base_lr: float = 5e-4,
                    weight_decay: float = 0.05 / 2,

@@ -54,8 +54,8 @@ def mask_labels(input_ids: np.ndarray, image_token_id: int,
     return labels
 
 
-def stage_optimizer(params, stage: int, base_lr: Optional[float] = None
-                    ) -> optax.GradientTransformation:
+def stage_optimizer(params, stage: int, base_lr: Optional[float] = None,
+                    lr_schedule=None) -> optax.GradientTransformation:
     """Stage 1: projectors only (lr 1e-3); stage 2: everything except
     the vision tower (lr 1e-5); stage 3 handled by ref_sft."""
     if stage == 1:
@@ -65,6 +65,7 @@ def stage_optimizer(params, stage: int, base_lr: Optional[float] = None
         lr = base_lr if base_lr is not None else 1e-5
         mults = {"vision": 0.0}
     return make_optimizer(params, base_lr=lr, weight_decay=0.0,
+                          lr_schedule=lr_schedule,
                           custom_lr_mults=mults)
 
 
@@ -138,9 +139,15 @@ def _hidden_states(mod, patches, input_ids, attn_mask, position_ids,
     x = jax.lax.dynamic_update_slice_in_dim(
         x, jnp.broadcast_to(img_tokens[None].astype(x.dtype),
                             (b, v, d)), visual_start, axis=1)
+    # object positions may be -1 (caption-only stage-1/2 samples or
+    # padded slots): those keep the original token embedding
     bidx = jnp.arange(b)[:, None]
-    x = x.at[bidx, object_positions].set(
-        jnp.broadcast_to(obj[None].astype(x.dtype), (b,) + obj.shape))
+    pos = jnp.clip(object_positions, 0)
+    cur = x[bidx, pos]
+    newv = jnp.where((object_positions >= 0)[..., None],
+                     jnp.broadcast_to(obj[None].astype(x.dtype),
+                                      (b,) + obj.shape), cur)
+    x = x.at[bidx, pos].set(newv)
     return mod.text(x, position_ids, attn_mask,
                     deepstack_embeds=list(taps),
                     visual_start=visual_start)

@@ -57,7 +57,7 @@ def build_soft_labels(gt_boxes: np.ndarray, proposals: np.ndarray,
 
 def ref_optimizer(params, base_lr: float = 1e-5,
                   weight_decay: float = 0.0,
-                  freeze_vision: bool = True
+                  freeze_vision: bool = True, lr_schedule=None
                   ) -> optax.GradientTransformation:
     """3-tier LRs; optionally zero out the vision tower entirely
     (stage-3 freezes it — run_stage3.sh)."""
@@ -65,6 +65,7 @@ def ref_optimizer(params, base_lr: float = 1e-5,
              "out_proj": 10.0}
     return make_optimizer(params, base_lr=base_lr,
                           weight_decay=weight_decay,
+                          lr_schedule=lr_schedule,
                           custom_lr_mults=mults)
 
 
@@ -73,9 +74,11 @@ def ref_optimizer(params, base_lr: float = 1e-5,
 def ref_sft_step(cfg: RefCfg, grid_h: int, grid_w: int,
                  state: TrainState, patches, input_ids, attn_mask,
                  position_ids, visual_start: int, boxes, ori_wh,
-                 object_positions, labels
+                 object_positions, labels, valid=None
                  ) -> Tuple[TrainState, Dict[str, jax.Array]]:
-    """labels: (B, N) soft IoU targets for the object slots."""
+    """labels: (B, N) soft IoU targets for the object slots.
+    valid: optional (B, N) 0/1 — masks proposal-axis padding so
+    padded slots contribute no loss (the reference has dynamic N)."""
 
     def loss_fn(params):
         logits = RefModules(cfg, grid_h, grid_w).apply(
@@ -83,7 +86,9 @@ def ref_sft_step(cfg: RefCfg, grid_h: int, grid_w: int,
             position_ids, boxes, ori_wh, visual_start,
             object_positions)
         return sigmoid_focal_loss(logits.reshape(-1),
-                                  labels.reshape(-1))
+                                  labels.reshape(-1),
+                                  valid=None if valid is None
+                                  else valid.reshape(-1))
 
     loss, grads = jax.value_and_grad(loss_fn)(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state,

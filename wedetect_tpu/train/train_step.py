@@ -61,13 +61,16 @@ class Batch(NamedTuple):
     gt_mask: jax.Array    # (B, G) bool
 
 
-def loss_fn(cfg: ModelCfg, params, batch_stats, batch: Batch
-            ) -> Tuple[jax.Array, Tuple[Any, DetLosses]]:
+def loss_fn(cfg: ModelCfg, params, batch_stats, batch: Batch,
+            step=0) -> Tuple[jax.Array, Tuple[Any, DetLosses]]:
     imgs = batch.images.astype(jnp.float32) / 255.0
+    # per-step dropout rng for stochastic depth (no-op at rate 0)
+    rng = jax.random.fold_in(jax.random.PRNGKey(17), step)
     out, mut = WeDetectModule(cfg).apply(
         {"params": params, "batch_stats": batch_stats},
         imgs, batch.texts if not cfg.num_prompts else None,
-        train=True, mutable=["batch_stats"])
+        train=True, mutable=["batch_stats"],
+        rngs={"dropout": rng})
 
     priors, strides = flat_priors_and_strides(
         cfg.feat_sizes(imgs.shape[1:3]), cfg.strides)
@@ -93,7 +96,7 @@ def loss_fn(cfg: ModelCfg, params, batch_stats, batch: Batch
 def train_step(cfg: ModelCfg, state: TrainState, batch: Batch
                ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     grad_fn = jax.value_and_grad(
-        lambda p: loss_fn(cfg, p, state.batch_stats, batch),
+        lambda p: loss_fn(cfg, p, state.batch_stats, batch, state.step),
         has_aux=True)
     (total, (new_stats, losses)), grads = grad_fn(state.params)
     updates, new_opt = state.tx.update(grads, state.opt_state,
