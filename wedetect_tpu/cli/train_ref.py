@@ -70,19 +70,25 @@ def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
 def build_step_inputs(cfg, sample, stage: int, seq_buckets,
                       max_proposals: int, pad_token_id: int):
     """Pad one dataset sample to static shapes for the jitted step."""
-    from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
+    from wedetect_tpu.nn.qwen3vl import (get_rope_index_single_image,
+                                         get_rope_index_single_video)
     from wedetect_tpu.train.ref_lm import IGNORE_INDEX
 
     ids = sample["input_ids"]
     gh, gw = sample["grid"]
+    grid_t = int(sample.get("grid_t", 1))
     l = pad_to_bucket(len(ids), seq_buckets)
     ids_p = np.full((1, l), pad_token_id, np.int32)
     ids_p[0, :len(ids)] = ids
     mask = np.zeros((1, l), np.int32)
     mask[0, :len(ids)] = 1
-    pos = np.pad(get_rope_index_single_image(
-        ids, cfg.image_token_id, gh, gw, cfg.vision.merge),
-        ((0, 0), (0, l - len(ids))))[:, None]     # (3, 1, L)
+    if grid_t > 1 or (np.asarray(ids) == cfg.video_token_id).any():
+        rope = get_rope_index_single_video(
+            ids, cfg.video_token_id, grid_t, gh, gw, cfg.vision.merge)
+    else:
+        rope = get_rope_index_single_image(
+            ids, cfg.image_token_id, gh, gw, cfg.vision.merge)
+    pos = np.pad(rope, ((0, 0), (0, l - len(ids))))[:, None]  # (3,1,L)
 
     n = max_proposals
     boxes = np.tile(np.array([[0, 0, 1, 1]], np.float32), (n, 1))
@@ -106,7 +112,8 @@ def build_step_inputs(cfg, sample, stage: int, seq_buckets,
            "attn_mask": mask, "position_ids": pos,
            "visual_start": int(sample["visual_start"]),
            "boxes": boxes, "ori_wh": ori_wh,
-           "object_positions": obj_pos, "grid": (gh, gw)}
+           "object_positions": obj_pos, "grid": (gh, gw),
+           "grid_t": grid_t}
     if stage == 3:
         out["soft_labels"] = soft
         out["valid"] = valid
@@ -153,7 +160,8 @@ def train_ref_loop(cfg, state, dataset, stage: int, steps: int, *,
                 jnp.asarray(b["valid"]))
         else:
             state, metrics = ref_lm_step(
-                cfg, gh, gw, state, *common, jnp.asarray(b["labels"]))
+                cfg, gh, gw, state, *common, jnp.asarray(b["labels"]),
+                b["grid_t"])
         losses.append(metrics["loss"])
         if (step + 1) % log_every == 0:
             msg = {"step": step + 1, "stage": stage,
@@ -207,6 +215,7 @@ def main(argv=None):
             args.data, tok, image_token_id=cfg.image_token_id,
             vision_start_token_id=cfg.vision_start_token_id,
             object_token_id=cfg.object_token_id,
+            video_token_id=cfg.video_token_id,
             patch=cfg.vision.patch, merge=cfg.vision.merge,
             seed=args.seed)
 

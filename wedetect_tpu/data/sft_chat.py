@@ -24,6 +24,7 @@ class ChatSftDataset:
     def __init__(self, data_path: str, tokenizer,
                  image_token_id: int, vision_start_token_id: int,
                  object_token_id: Optional[int] = None,
+                 video_token_id: Optional[int] = None,
                  max_len: int = 5120, max_retry: int = 5,
                  patch: int = 16, merge: int = 2, seed: int = 0):
         with open(data_path) as f:
@@ -32,6 +33,7 @@ class ChatSftDataset:
         self.image_token_id = image_token_id
         self.vision_start_token_id = vision_start_token_id
         self.object_token_id = object_token_id
+        self.video_token_id = video_token_id
         self.max_len = max_len
         self.max_retry = max_retry
         self.patch = patch
@@ -47,7 +49,9 @@ class ChatSftDataset:
     def build(self, conversations: Sequence[Dict], n_img: int
               ) -> Tuple[np.ndarray, np.ndarray, int]:
         """-> (input_ids, labels, visual_start). Assistant turns
-        supervise; user/image tokens are IGNORE_INDEX."""
+        supervise; user/image tokens are IGNORE_INDEX. A "<video>"
+        tag emits one contiguous video-token span instead (n_img is
+        then the total token count over all temporal groups)."""
         ids: List[int] = []
         spans: List[Tuple[int, int]] = []
         visual_start = -1
@@ -55,13 +59,18 @@ class ChatSftDataset:
             role = conv.get("from", conv.get("role"))
             text = conv["value"] if "value" in conv else conv["content"]
             has_image = "<image>" in text
+            has_video = "<video>" in text
             text = text.replace("<image>\n", "").replace("<image>", "")
+            text = text.replace("<video>\n", "").replace("<video>", "")
             if role in ("human", "user"):
                 ids += self._enc("<|im_start|>user\n")
-                if has_image:
+                if has_image or has_video:
+                    tok_id = (self.video_token_id if has_video
+                              else self.image_token_id)
+                    assert tok_id is not None
                     ids.append(self.vision_start_token_id)
                     visual_start = len(ids)
-                    ids += [self.image_token_id] * n_img
+                    ids += [tok_id] * n_img
                     ids += self._enc("<|vision_end|>")
                 ids += self._enc(text)
                 ids += self._enc("<|im_end|>\n")
@@ -91,18 +100,34 @@ class ChatSftDataset:
 
     def _get(self, idx: int) -> Dict:
         from wedetect_tpu.data.loader import load_image_rgb
-        from wedetect_tpu.data.vision_process import image_to_patches
+        from wedetect_tpu.data.vision_process import (image_to_patches,
+                                                      video_to_patches)
 
         src = self.data[idx]
-        img = load_image_rgb(src["image"])
-        patches, gh, gw = image_to_patches(img, patch=self.patch,
-                                           merge=self.merge)
-        n_img = (gh // self.merge) * (gw // self.merge)
+        grid_t = 1
+        if "video" in src:
+            # list of frame image paths, or one decodable video file
+            vid = src["video"]
+            if isinstance(vid, str):
+                from wedetect_tpu.data.vision_process import \
+                    read_video_cv2
+
+                frames, _ = read_video_cv2(vid)
+            else:
+                frames = np.stack([load_image_rgb(p) for p in vid])
+            patches, grid_t, gh, gw = video_to_patches(
+                frames, patch=self.patch, merge=self.merge)
+            img = frames[0]
+        else:
+            img = load_image_rgb(src["image"])
+            patches, gh, gw = image_to_patches(img, patch=self.patch,
+                                               merge=self.merge)
+        n_img = grid_t * (gh // self.merge) * (gw // self.merge)
         ids, labels, visual_start = self.build(src["conversations"],
                                                n_img)
         out = {"input_ids": ids, "labels": labels,
                "visual_start": visual_start, "patches": patches,
-               "grid": (gh, gw), "image": img}
+               "grid": (gh, gw), "grid_t": grid_t, "image": img}
         # region-caption samples carry <object> turns + boxes
         # (reference sft.py stage-2 data)
         if self.object_token_id is not None:

@@ -20,6 +20,15 @@ IMAGE_MIN_TOKEN_NUM = 4
 IMAGE_MAX_TOKEN_NUM = 16384
 MAX_RATIO = 200
 
+# video constants (reference vision_process.py:28-37)
+VIDEO_MIN_TOKEN_NUM = 128
+VIDEO_MAX_TOKEN_NUM = 768
+VIDEO_FPS = 2.0
+FRAME_FACTOR = 2
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
+MODEL_SEQ_LEN = 128000
+
 
 def round_by_factor(x: float, f: int) -> int:
     return round(x / f) * f
@@ -110,3 +119,125 @@ def image_to_patches(img: np.ndarray, patch: int = 16,
     x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)
     patches = x.reshape(gh * gw, 3 * temporal_patch * patch * patch)
     return patches, gh, gw
+
+
+# -------------------------------------------------------------- video
+
+
+def smart_nframes(total_frames: int, video_fps: float,
+                  fps: Optional[float] = None,
+                  nframes: Optional[int] = None,
+                  min_frames: int = FPS_MIN_FRAMES,
+                  max_frames: Optional[int] = None) -> int:
+    """Frame count for model inputs (reference
+    vision_process.py:144-182 smart_nframes): either an explicit
+    `nframes` rounded to FRAME_FACTOR, or fps-based sampling clamped to
+    [min_frames, max_frames] and floored to FRAME_FACTOR."""
+    if nframes is not None:
+        n = round_by_factor(nframes, FRAME_FACTOR)
+    else:
+        fps = VIDEO_FPS if fps is None else fps
+        lo = ceil_by_factor(min_frames, FRAME_FACTOR)
+        hi = floor_by_factor(max_frames if max_frames is not None
+                             else min(FPS_MAX_FRAMES, total_frames),
+                             FRAME_FACTOR)
+        n = total_frames / video_fps * fps
+        n = min(min(max(n, lo), hi), total_frames)
+        n = floor_by_factor(n, FRAME_FACTOR)
+    if not (FRAME_FACTOR <= n <= total_frames):
+        raise ValueError(
+            f"nframes must be in [{FRAME_FACTOR}, {total_frames}], "
+            f"got {n}")
+    return int(n)
+
+
+def sample_frame_indices(total_frames: int, nframes: int) -> np.ndarray:
+    """Uniform temporal sampling (reference :216 linspace().round())."""
+    return np.round(np.linspace(0, total_frames - 1,
+                                nframes)).astype(np.int64)
+
+
+def read_video_cv2(path: str, fps: Optional[float] = None,
+                   nframes: Optional[int] = None):
+    """Decode a video file and sample frames (TPU-host replacement for
+    the reference's torchvision/decord readers). Returns
+    (frames (T, H, W, 3) uint8 RGB, sample_fps)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise ValueError(f"cannot open video {path}")
+    video_fps = cap.get(cv2.CAP_PROP_FPS) or VIDEO_FPS
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+    cap.release()
+    total = len(frames)
+    n = smart_nframes(total, video_fps, fps=fps, nframes=nframes)
+    idx = sample_frame_indices(total, n)
+    sample_fps = n / max(total, 1e-6) * video_fps
+    return np.stack([frames[i] for i in idx]), sample_fps
+
+
+def video_frame_pixel_budget(nframes: int, patch: int = 16,
+                             merge: int = 2,
+                             min_pixels: Optional[int] = None,
+                             max_pixels: Optional[int] = None,
+                             total_pixels: Optional[int] = None):
+    """Per-frame pixel budget (reference fetch_video:448-455): the
+    total token budget is split across frames, clamped to the video
+    frame min/max."""
+    f2 = (patch * merge) ** 2
+    min_px = (min_pixels if min_pixels is not None
+              else VIDEO_MIN_TOKEN_NUM * f2)
+    total_px = (total_pixels if total_pixels is not None
+                else MODEL_SEQ_LEN * f2 * 0.9)
+    cap = max(min(VIDEO_MAX_TOKEN_NUM * f2,
+                  total_px / nframes * FRAME_FACTOR),
+              int(min_px * 1.05))
+    if max_pixels is not None:
+        cap = min(max_pixels, cap)
+    return min_px, int(cap)
+
+
+def video_to_patches(frames: np.ndarray, patch: int = 16,
+                     temporal_patch: int = 2, merge: int = 2,
+                     min_pixels: Optional[int] = None,
+                     max_pixels: Optional[int] = None,
+                     total_pixels: Optional[int] = None):
+    """(T, H, W, 3) uint8 RGB frames -> (patches
+    (grid_t*gh*gw, C*TP*P*P) f32, grid_t, gh, gw).
+
+    Mirrors the Qwen video processor: every frame smart-resized to a
+    shared grid under the per-frame budget, T padded to a multiple of
+    temporal_patch by repeating the last frame, consecutive
+    temporal_patch frames stacked per token, merge-block spatial order
+    within each temporal group (groups are token-major)."""
+    import cv2
+
+    frames = np.asarray(frames)
+    t, h, w = frames.shape[:3]
+    min_px, max_px = video_frame_pixel_budget(
+        t, patch, merge, min_pixels, max_pixels, total_pixels)
+    hb, wb = smart_resize(h, w, patch * merge, min_px, max_px)
+    resized = np.stack([
+        cv2.resize(f, (wb, hb), interpolation=cv2.INTER_CUBIC)
+        for f in frames])
+    tp = temporal_patch
+    if t % tp:
+        resized = np.concatenate(
+            [resized, np.repeat(resized[-1:], tp - t % tp, axis=0)])
+        t = resized.shape[0]
+    grid_t = t // tp
+    x = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
+    x = x.transpose(0, 3, 1, 2)                 # T, C, H, W
+    gh, gw = hb // patch, wb // patch
+    x = x.reshape(grid_t, tp, 3, gh // merge, merge, patch,
+                  gw // merge, merge, patch)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = x.reshape(grid_t * gh * gw,
+                        3 * tp * patch * patch)
+    return patches, grid_t, gh, gw

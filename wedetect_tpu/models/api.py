@@ -21,7 +21,7 @@ import numpy as np
 
 from wedetect_tpu.configs import ModelCfg, get_config
 from wedetect_tpu.models import wedetect as W
-from wedetect_tpu.ops.letterbox import preprocess_image
+from wedetect_tpu.ops.letterbox import preprocess_image, yolov5_letterbox
 
 
 @dataclasses.dataclass
@@ -32,6 +32,10 @@ class Detector:
     tokenizer_path: str = "xlm-roberta-base"
     _text_embeds: Optional[np.ndarray] = None
     class_names: Optional[List[str]] = None
+    # "pipeline" = mmdet two-stage cv2 flavor (infer_wedetect/test.py);
+    # "yolov5" = the standalone scripts' PIL letterbox
+    # (generate_proposal.py:17-83) — Uni constructors default to it
+    preproc: str = "pipeline"
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, size: str = "base",
@@ -62,13 +66,16 @@ class Detector:
             text_params = convert_hf_text_tower(tsd, cfg.text)
         return cls(cfg=cfg, variables=variables,
                    text_params=text_params,
-                   tokenizer_path=tokenizer_path)
+                   tokenizer_path=tokenizer_path,
+                   preproc="yolov5" if uni else "pipeline")
 
     @classmethod
     def from_random(cls, size: str = "base", seed: int = 0,
                     **cfg_kw) -> "Detector":
         cfg = get_config(size, **cfg_kw)
-        return cls(cfg=cfg, variables=W.init_variables(cfg, seed=seed))
+        return cls(cfg=cfg, variables=W.init_variables(cfg, seed=seed),
+                   preproc="yolov5" if size.startswith("uni")
+                   else "pipeline")
 
     # ----------------------------------------------------------------- text
     def encode_texts(self, texts: Sequence[str]) -> np.ndarray:
@@ -114,9 +121,11 @@ class Detector:
             w = jnp.asarray(self._text_embeds)
 
         arrs, sfs, pads, oris = [], [], [], []
+        pre = (yolov5_letterbox if self.preproc == "yolov5"
+               else preprocess_image)
         for im in images:
             arr = load_image_rgb(im) if isinstance(im, str) else im
-            padded, sf, pad, ori = preprocess_image(arr, cfg.img_size)
+            padded, sf, pad, ori = pre(arr, cfg.img_size)
             arrs.append(padded)
             sfs.append(sf)
             pads.append(pad)

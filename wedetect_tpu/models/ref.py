@@ -168,10 +168,12 @@ class RefModules(nn.Module):
     grid_w: int
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    grid_t: int = 1  # >1 only for video SFT samples (train/ref_lm)
 
     def setup(self):
         self.vision = VisionModel(self.cfg.vision, grid_h=self.grid_h,
-                                  grid_w=self.grid_w, dtype=self.dtype,
+                                  grid_w=self.grid_w,
+                                  grid_t=self.grid_t, dtype=self.dtype,
                                   attn_impl=self.attn_impl,
                                   name="vision")
         self.text = TextModel(self.cfg.text, dtype=self.dtype,
@@ -198,9 +200,12 @@ class RefModules(nn.Module):
         d = c.text.hidden
 
         img_embeds, taps = self.vision(patches)     # (V, D), taps
-        scale3 = img_embeds.reshape(mh, mw, d)
-        scale2 = taps[-1].reshape(mh, mw, d)
-        scale1 = taps[-2].reshape(mh, mw, d)
+        # RoI pyramid from the first temporal group (grounding is
+        # image-only: grid_t == 1 except video SFT, where boxes are
+        # dummy)
+        scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
+        scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
+        scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
         s1, s2, s3 = self.extras.build_pyramid(scale1, scale2, scale3)
 
         # boxes: original -> (W*32, H*32) space
@@ -211,7 +216,9 @@ class RefModules(nn.Module):
         boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
         obj = self.extras.object_feats(s1, s2, s3, boxes_32)  # (N, D)
 
-        img_tokens = img_embeds + self.extras.image_pos(mh, mw)
+        # 2-D sine pos embeds repeat per temporal group (video SFT)
+        img_tokens = img_embeds + jnp.tile(
+            self.extras.image_pos(mh, mw), (self.grid_t, 1))
 
         x = self.embed(input_ids)                    # (B, L, D)
         b, l, _ = x.shape

@@ -80,6 +80,7 @@ class RefCfg:
     vision: RefVisionCfg = RefVisionCfg()
     text: RefTextCfg = RefTextCfg()
     image_token_id: int = 151655
+    video_token_id: int = 151656
     vision_start_token_id: int = 151652
     object_token_id: int = 151665
 
@@ -107,6 +108,7 @@ class RefCfg:
                 mrope_section=tuple(
                     t.rope_scaling["mrope_section"])),
             image_token_id=hf.image_token_id,
+            video_token_id=getattr(hf, "video_token_id", 151656),
             vision_start_token_id=hf.vision_start_token_id,
         )
 
@@ -238,12 +240,19 @@ class PatchMerger(nn.Module):
 
 
 class VisionModel(nn.Module):
-    """Single image, static grid. patches (S, in_ch*t*p*p) ->
-    (merged (S/m^2, out_hidden), deepstack list of same)."""
+    """Static grid, grid_t temporal groups (1 = single image).
+    patches (grid_t*gh*gw, in_ch*t*p*p) ->
+    (merged (grid_t*gh*gw/m^2, out_hidden), deepstack list of same).
+
+    Video: every temporal group shares the same 2-D grid, so the
+    learned pos-embeds and the 2-D rotary row/col frequencies tile
+    across groups (the published Qwen3-VL vision tower has no temporal
+    rope axis; time lives in the text-side MRoPE)."""
 
     cfg: RefVisionCfg
     grid_h: int = 16
     grid_w: int = 16
+    grid_t: int = 1
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
@@ -259,9 +268,11 @@ class VisionModel(nn.Module):
                            (c.num_pos_emb, c.hidden), jnp.float32)
         pos = jnp.einsum("ksd,ks->sd", table[jnp.asarray(idx)],
                          jnp.asarray(wgt, jnp.float32))
+        pos = jnp.tile(pos, (self.grid_t, 1))
         x = x + pos.astype(self.dtype)
 
         ids = vision_pos_ids(self.grid_h, self.grid_w, c.merge)
+        ids = np.tile(ids, (self.grid_t, 1))
         dim = c.head_dim // 4
         inv = 1.0 / (10000.0 ** (np.arange(0, dim * 2, 2,
                                            dtype=np.float64) / (dim * 2)))
@@ -275,7 +286,7 @@ class VisionModel(nn.Module):
         # rows carry segment id 0 so they never leak into real tokens
         # (exact under the einsum fallback too: -1e9 bias underflows
         # to an exact 0 softmax weight)
-        s = self.grid_h * self.grid_w
+        s = self.grid_t * self.grid_h * self.grid_w
         s_pad = -(-s // 128) * 128
         valid = None
         if s_pad != s:
@@ -434,4 +445,39 @@ def get_rope_index_single_image(input_ids: np.ndarray,
     nxt = st + max(mh, mw)
     rest = l - (st + mh * mw)
     pos[:, st + mh * mw:] = nxt + np.arange(rest)
+    return pos
+
+
+def get_rope_index_single_video(input_ids: np.ndarray,
+                                video_token_id: int, grid_t: int,
+                                grid_h: int, grid_w: int,
+                                merge: int) -> np.ndarray:
+    """MRoPE ids for ONE contiguous video span: per temporal group the
+    (row, col) grid repeats and the t axis advances by one group.
+
+    NOTE: the HF Qwen3-VL processor instead splits a video into
+    per-frame vision spans separated by timestamp text (each with
+    t=1); this contiguous-span layout is the simpler SFT-data variant
+    this repo's ChatSftDataset emits — time still advances on the t
+    axis, rows/cols match per frame. Returns (3, L)."""
+    l = len(input_ids)
+    pos = np.zeros((3, l), np.int64)
+    vid = np.nonzero(input_ids == video_token_id)[0]
+    if len(vid) == 0:
+        pos[:] = np.arange(l)
+        return pos
+    st = int(vid[0])
+    mh, mw = grid_h // merge, grid_w // merge
+    n = grid_t * mh * mw
+    assert len(vid) == n, (len(vid), grid_t, mh, mw)
+    pos[:, :st] = np.arange(st)
+    rows = np.tile(np.repeat(np.arange(mh), mw), grid_t)
+    cols = np.tile(np.tile(np.arange(mw), mh), grid_t)
+    ts = np.repeat(np.arange(grid_t), mh * mw)
+    pos[0, st:st + n] = st + ts
+    pos[1, st:st + n] = st + rows
+    pos[2, st:st + n] = st + cols
+    nxt = st + max(grid_t, mh, mw)
+    rest = l - (st + n)
+    pos[:, st + n:] = nxt + np.arange(rest)
     return pos

@@ -79,6 +79,39 @@ def letter_resize(img: np.ndarray, scale: Tuple[int, int],
     return img, scale_factor, pad_param
 
 
+def yolov5_letterbox(img: np.ndarray, scale: Tuple[int, int],
+                     scale_up: bool = True, pad_val: int = 114):
+    """The reference STANDALONE scripts' preprocessing flavor
+    (generate_proposal.py:17-83, YOLOv5 letterbox): one-step PIL
+    BILINEAR resize with round() sizes, pad left = dw//2 top = dh//2,
+    and FLOAT half-pad offsets (dw/2, dh/2) for the un-letterbox
+    (:1106-1115 subtracts the float halves, divides by the single
+    ratio, clamps). Distinct from the mmdet-pipeline flavor above
+    (infer_wedetect/test.py), which uses two-stage cv2 resizing.
+
+    Returns (padded u8 HWC, scale_factor (r, r),
+    pad_param [dh/2, dh/2, dw/2, dw/2] float, ori_shape (h, w)) —
+    drop-in compatible with the detect graph's postprocess.
+    """
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    th, tw = scale
+    r = min(tw / w, th / h)
+    if not scale_up:
+        r = min(r, 1.0)
+    nw, nh = int(round(w * r)), int(round(h * r))
+    pil = Image.fromarray(img).resize((nw, nh),
+                                      Image.Resampling.BILINEAR)
+    dw, dh = tw - nw, th - nh
+    left, top = dw // 2, dh // 2
+    out = Image.new("RGB", (tw, th), (pad_val,) * 3)
+    out.paste(pil, (left, top))
+    pad = np.array([dh / 2, dh / 2, dw / 2, dw / 2], np.float32)
+    return (np.asarray(out), np.array([r, r], np.float32), pad,
+            (h, w))
+
+
 def preprocess_image(img: np.ndarray, scale: Tuple[int, int],
                      pad_val: int = 114):
     """Full test-time preprocessing: keep-ratio resize then letterbox.

@@ -69,23 +69,24 @@ def stage_optimizer(params, stage: int, base_lr: Optional[float] = None,
                           custom_lr_mults=mults)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 13),
                    donate_argnums=(3,))
 def ref_lm_step(cfg: RefCfg, grid_h: int, grid_w: int,
                 state: TrainState, patches, input_ids, attn_mask,
                 position_ids, visual_start: int, boxes, ori_wh,
-                object_positions, labels
+                object_positions, labels, grid_t: int = 1
                 ) -> Tuple[TrainState, Dict[str, jax.Array]]:
     """One LM-loss step through the grounding trunk.
 
     labels: (B, L) token ids with IGNORE_INDEX masking. The LM head is
     the tied input embedding (params['embed']['embed_tokens']
     ['embedding']) unless params contains an 'lm_head' kernel.
+    grid_t > 1 feeds a video sample (one contiguous span).
     """
     from wedetect_tpu.models.ref import RefModules
 
     def loss_fn(params):
-        mod = RefModules(cfg, grid_h, grid_w)
+        mod = RefModules(cfg, grid_h, grid_w, grid_t=grid_t)
         # reuse the grounding forward for hidden states by scoring with
         # a dummy head: bind the module and call the pieces
         def fwd(p):
@@ -123,16 +124,19 @@ def _hidden_states(mod, patches, input_ids, attn_mask, position_ids,
     mh, mw = mod.grid_h // m, mod.grid_w // m
     d = c.text.hidden
     img_embeds, taps = mod.vision(patches)
-    scale3 = img_embeds.reshape(mh, mw, d)
-    scale2 = taps[-1].reshape(mh, mw, d)
-    scale1 = taps[-2].reshape(mh, mw, d)
+    # the RoI pyramid uses the FIRST temporal group (video samples
+    # carry dummy boxes; images have grid_t == 1)
+    scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
+    scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
+    scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
     s1, s2, s3 = mod.extras.build_pyramid(scale1, scale2, scale3)
     norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
                        jnp.float32)
     ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
     boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
     obj = mod.extras.object_feats(s1, s2, s3, boxes_32)
-    img_tokens = img_embeds + mod.extras.image_pos(mh, mw)
+    img_tokens = img_embeds + jnp.tile(mod.extras.image_pos(mh, mw),
+                                       (mod.grid_t, 1))
     x = mod.embed(input_ids)
     b, l, _ = x.shape
     v = img_tokens.shape[0]
