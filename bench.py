@@ -1,16 +1,23 @@
-"""Benchmark: WeDetect-Base end-to-end detection throughput on one chip.
+"""Benchmark: WeDetect throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": "wedetect_base_640_img_per_s", "value": N,
-   "unit": "img/s", "vs_baseline": N}
+Prints ONE JSON line. The headline metric is WeDetect-Base @640, K=80
+end-to-end detection (reference baseline 35.1 FPS, BASELINE.md); the
+"sub" object carries the additional driver-captured rows VERDICT r1
+item 6 asked for:
+  - wedetect_large_1280_img_per_s (baseline 6.0 FPS)
+  - wedetect_base_640_k1280_img_per_s (LVIS-scale vocabulary)
+  - ref2b_queries_per_s_l2048 (flash-attention prefill, baseline
+    6.6 FPS = one query per forward on the reference GPU)
 
-Baseline: the reference reports 35.1 FPS for WeDetect-Base @640 on an
-(unstated, A100-class) GPU (BASELINE.md Table 1). The benchmark runs
-the FULL graph — uint8 input, /255, ConvNeXt-B, BiFPAN, head,
-K=80-class contrastive scoring, DFL decode, static NMS to 300 boxes —
-with bf16 compute, batch sweep, steady-state timing.
+Every row runs the FULL graph — uint8 input, /255, backbone, neck,
+head, contrastive scoring, DFL decode, static NMS (detect rows) /
+vision tower + batched LLM prefill + RoIAlign scoring (ref row) —
+bf16 compute, steady-state chained timing (see _run_chained: this
+transport's block_until_ready does not synchronize, so iterations are
+serialized via a 1-byte data dependency and synced once per trial).
 """
 
+import gc
 import json
 import sys
 import time
@@ -18,18 +25,29 @@ import time
 import numpy as np
 
 
-def main():
+def _run_chained(step, first_arg, iters, trials=4):
+    """step(x) -> (scalar-ish tag array, next x). Returns best dt."""
+    tag, x = step(first_arg)                 # compile
+    _ = float(np.asarray(tag))               # sync warmup
+    best = float("inf")
+    for _t in range(trials):
+        x = first_arg
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            tag, x = step(x)
+        _ = float(np.asarray(tag))           # sync end
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def bench_detect(size, k, batches, iters):
     import jax
     import jax.numpy as jnp
 
-    from wedetect_tpu.configs import wedetect_base
+    from wedetect_tpu.configs import get_config
     from wedetect_tpu.models.wedetect import detect_step, init_variables
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform in ("tpu", "axon")
-    cfg = wedetect_base(compute_dtype="bfloat16", num_classes=80)
-    # init on host CPU (much faster than compiling the init program
-    # through the device), then transfer once
+    cfg = get_config(size, compute_dtype="bfloat16", num_classes=k)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -38,18 +56,12 @@ def main():
     except Exception:
         variables = init_variables(cfg, seed=0)
     h, w = cfg.img_size
-    k = cfg.num_classes
-
     rng = np.random.default_rng(0)
     wtxt = jnp.asarray(rng.standard_normal((k, cfg.embed_dims))
                        .astype(np.float32))
 
-    def run_chained(b, iters):
-        """Serialized timing: iteration i's input depends on output
-        i-1, with ONE host readback at the end. This measures true
-        device time even on backends whose block_until_ready does not
-        synchronize (the tunneled axon transport here), and amortizes
-        the host<->device RTT over all iterations."""
+    best = 0.0
+    for b in batches:
         imgs0 = jnp.asarray(rng.integers(0, 255, (b, h, w, 3))
                             .astype(np.uint8))
         sf = jnp.ones((b, 2), jnp.float32)
@@ -58,46 +70,133 @@ def main():
 
         def step(imgs):
             det = detect_step(cfg, variables, imgs, wtxt, sf, pad, ori)
-            # 1-byte data dependency feeding the next iteration
             tag = (det.scores[0, 0] * 0).astype(jnp.uint8)
-            return det, imgs0 + tag
+            return tag, imgs0 + tag
 
-        det, imgs = step(imgs0)            # compile
-        _ = float(np.asarray(det.scores[0, 0]))  # sync warmup
-        # several trials, best wins: the first executions of a freshly
-        # compiled program can be orders of magnitude slower on
-        # tunneled transports before reaching steady state
-        best_dt = float("inf")
-        for _trial in range(4):
-            imgs = imgs0
-            t0 = time.perf_counter()
-            for _ in range(iters):
-                det, imgs = step(imgs)
-            _ = float(np.asarray(det.scores[0, 0]))  # sync end
-            best_dt = min(best_dt,
-                          (time.perf_counter() - t0) / iters)
-        return best_dt
-
-    best = 0.0
-    batches = (8, 16) if on_tpu else (1,)
-    iters = 15 if on_tpu else 2
-    for b in batches:
         try:
-            dt = run_chained(b, iters)
+            dt = _run_chained(step, imgs0, iters)
             ips = b / dt
-            print(f"# b={b}: {ips:.1f} img/s ({dt * 1e3:.1f} ms)",
-                  file=sys.stderr)
+            print(f"# {size} {h}x{w} K={k} b={b}: {ips:.1f} img/s "
+                  f"({dt * 1e3:.1f} ms)", file=sys.stderr)
             best = max(best, ips)
-        except Exception as e:  # OOM at large batch etc.
-            print(f"# b={b} failed: {type(e).__name__}", file=sys.stderr)
+        except Exception as e:
+            print(f"# {size} K={k} b={b} failed: {type(e).__name__}",
+                  file=sys.stderr)
             break
+    del variables
+    gc.collect()
+    return best
+
+
+def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5):
+    """2B Ref REC scoring: vision tower (40x30 grid) + one batched
+    flash-attention prefill scoring `proposals` boxes for `queries`
+    query rows. queries/s compares against the reference's 6.6 FPS
+    (ONE query per forward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wedetect_tpu.models.ref import RefModules, ref_score_step
+    from wedetect_tpu.nn.qwen3vl import ref_2b
+
+    cfg = ref_2b()
+    gh, gw = 40, 30
+    mh, mw = gh // 2, gw // 2
+    rng = np.random.default_rng(0)
+
+    mod = RefModules(cfg, gh, gw, dtype=jnp.bfloat16)
+    patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
+        * cfg.vision.patch ** 2
+    patches = jnp.asarray(rng.standard_normal(
+        (gh * gw, patch_dim)).astype(np.float32))
+    n_img = mh * mw
+    ids = np.full((queries, seq_len), 11, np.int32)
+    ids[:, 4] = cfg.vision_start_token_id
+    ids[:, 5:5 + n_img] = cfg.image_token_id
+    obj0 = 5 + n_img + 32
+    ids[:, obj0:obj0 + proposals] = cfg.object_token_id
+    mask = np.zeros((queries, seq_len), np.int32)
+    mask[:, :obj0 + proposals + 8] = 1
+    pos = np.tile(np.arange(seq_len)[None, None], (3, queries, 1))
+    boxes = rng.uniform(0, 600, (proposals, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]
+    objpos = np.tile(np.arange(obj0, obj0 + proposals)[None],
+                     (queries, 1)).astype(np.int32)
+
+    shapes = jax.eval_shape(
+        lambda key: mod.init(key, patches, jnp.asarray(ids),
+                             jnp.asarray(mask),
+                             jnp.asarray(pos.astype(np.int32)),
+                             jnp.asarray(boxes),
+                             jnp.asarray([960.0, 1280.0]), 5,
+                             jnp.asarray(objpos)),
+        jax.random.PRNGKey(0))["params"]
+    print(f"# ref2b params: "
+          f"{sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes)) / 1e9:.2f}B",
+          file=sys.stderr)
+    r = np.random.default_rng(1)
+    params = jax.tree.map(
+        lambda s: jnp.asarray((r.standard_normal(s.shape) * 0.02)
+                              .astype(np.float32)
+                              .astype(jnp.bfloat16)), shapes)
+
+    idsj = jnp.asarray(ids)
+    argv = (patches, idsj, jnp.asarray(mask),
+            jnp.asarray(pos.astype(np.int32)), 5, jnp.asarray(boxes),
+            jnp.asarray([960.0, 1280.0], jnp.float32),
+            jnp.asarray(objpos))
+
+    def step(ids_in):
+        logits = ref_score_step(cfg, gh, gw, params, argv[0], ids_in,
+                                argv[2], argv[3], argv[4], argv[5],
+                                argv[6], argv[7], jnp.bfloat16, "auto")
+        tag = (logits[0, 0] * 0).astype(jnp.int32)
+        return tag, idsj + tag
+
+    dt = _run_chained(step, idsj, iters)
+    qps = queries / dt
+    print(f"# ref2b L={seq_len} Q={queries}: {qps:.1f} queries/s "
+          f"({dt * 1e3:.1f} ms)", file=sys.stderr)
+    del params
+    gc.collect()
+    return qps
+
+
+def main():
+    import jax
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+
+    base = bench_detect("base", 80, (8, 16) if on_tpu else (1,),
+                        15 if on_tpu else 2)
+    sub = {}
+    if on_tpu:
+        try:
+            large = bench_detect("large", 80, (4,), 5)
+            sub["wedetect_large_1280_img_per_s"] = round(large, 2)
+            sub["large_vs_baseline"] = round(large / 6.0, 3)
+        except Exception as e:
+            print(f"# large bench failed: {e!r}", file=sys.stderr)
+        try:
+            k1280 = bench_detect("base", 1280, (8,), 5)
+            sub["wedetect_base_640_k1280_img_per_s"] = round(k1280, 2)
+        except Exception as e:
+            print(f"# k1280 bench failed: {e!r}", file=sys.stderr)
+        try:
+            qps = bench_ref()
+            sub["ref2b_queries_per_s_l2048"] = round(qps, 2)
+            sub["ref2b_vs_baseline"] = round(qps / 6.6, 3)
+        except Exception as e:
+            print(f"# ref bench failed: {e!r}", file=sys.stderr)
 
     baseline = 35.1  # reference WeDetect-Base FPS (BASELINE.md)
     print(json.dumps({
         "metric": "wedetect_base_640_img_per_s",
-        "value": round(best, 2),
+        "value": round(base, 2),
         "unit": "img/s",
-        "vs_baseline": round(best / baseline, 3),
+        "vs_baseline": round(base / baseline, 3),
+        "sub": sub,
     }))
 
 

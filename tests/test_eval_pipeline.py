@@ -85,5 +85,6 @@ def test_evaluate_random_weights(coco_dir):
     w = np.random.default_rng(1).standard_normal(
         (2, cfg.embed_dims)).astype(np.float32)
     metrics = evaluate_coco(cfg, variables, ds, w, batch_size=2)
-    assert set(metrics) == {"mAP", "AP50", "AP75", "APs", "APm", "APl"}
+    assert set(metrics) == {"mAP", "AP50", "AP75", "APs", "APm",
+                            "APl", "per_class"}
     assert 0.0 <= metrics["mAP"] <= 1.0 or np.isnan(metrics["mAP"])

@@ -1,0 +1,53 @@
+"""Tensor-parallel Ref sharding: TP output == replicated output."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wedetect_tpu.models.ref import RefModules, ref_score_step
+from wedetect_tpu.nn.qwen3vl import RefCfg, RefTextCfg, RefVisionCfg
+from wedetect_tpu.parallel.mesh import make_tp_mesh, ref_tp_sharding
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ref_tp_matches_replicated(rng):
+    cfg = RefCfg(
+        vision=RefVisionCfg(depth=2, hidden=32, heads=4,
+                            intermediate=64, patch=4, temporal_patch=2,
+                            merge=2, out_hidden=48, num_pos_emb=64,
+                            deepstack_idx=(0, 1)),
+        text=RefTextCfg(vocab_size=256, hidden=48, layers=2, heads=8,
+                        kv_heads=4, head_dim=16, intermediate=96,
+                        rope_theta=1000.0, mrope_section=(4, 2, 2)),
+        image_token_id=120, vision_start_token_id=122,
+        object_token_id=123)
+    gh, gw = 8, 8
+    args = (jnp.asarray(rng.standard_normal((gh * gw, 96))
+                        .astype(np.float32)),
+            jnp.asarray(rng.integers(0, 100, (2, 64)).astype(np.int32)),
+            jnp.ones((2, 64), jnp.int32),
+            jnp.asarray(np.tile(np.arange(64)[None, None], (3, 2, 1))
+                        .astype(np.int32)),
+            jnp.asarray(np.array([[1, 1, 30, 40]], np.float32)),
+            jnp.asarray(np.array([64.0, 64.0], np.float32)),
+            4,
+            jnp.asarray(np.array([[50], [50]], np.int32)))
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(jax.random.PRNGKey(0), *args)["params"]
+    want = np.asarray(mod.apply({"params": params}, *args))
+
+    mesh = make_tp_mesh(data=1, tp=4, devices=jax.devices()[:4])
+    # the sharder must column/row-shard the big decoder kernels
+    specs = ref_tp_sharding(mesh, params)
+    qspec = specs["text"]["layer0"]["q_proj"]["kernel"].spec
+    ospec = specs["text"]["layer0"]["o_proj"]["kernel"].spec
+    assert qspec == jax.sharding.PartitionSpec(None, "tp")
+    assert ospec == jax.sharding.PartitionSpec("tp", None)
+    with mesh:
+        sharded = jax.device_put(params, specs)
+        got = np.asarray(ref_score_step(
+            cfg, gh, gw, sharded, args[0], args[1], args[2], args[3],
+            args[6], args[4], args[5], args[7]))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

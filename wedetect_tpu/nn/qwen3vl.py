@@ -113,6 +113,26 @@ class RefCfg:
         )
 
 
+def ref_2b() -> RefCfg:
+    """WeDetect-Ref 2B preset (the RefCfg defaults). Real runs derive
+    the exact architecture from the HF checkpoint config via
+    RefCfg.from_hf_config; presets exist for benchmarks/dry-runs."""
+    return RefCfg()
+
+
+def ref_4b() -> RefCfg:
+    """WeDetect-Ref 4B preset: the Qwen3-VL-4B decoder scale
+    (hidden 2560, 36 layers, 32 q / 8 kv heads, ffn 9728) over the
+    same vision tower with a matching projector width. hidden < 4000
+    so the flatten object-projector branch applies
+    (reference qwen3vl_referring.py:230-240)."""
+    return RefCfg(
+        vision=dataclasses.replace(RefVisionCfg(), out_hidden=2560),
+        text=RefTextCfg(hidden=2560, layers=36, heads=32, kv_heads=8,
+                        head_dim=128, intermediate=9728),
+    )
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     dtype: Dtype = jnp.float32

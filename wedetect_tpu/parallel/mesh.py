@@ -69,6 +69,58 @@ def fsdp_sharding(mesh: Mesh, tree: Any) -> Any:
     return jax.tree.map(spec, tree)
 
 
+def make_tp_mesh(data: int = 1, tp: int = -1,
+                 devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """("data", "tp") mesh for tensor-parallel LLM serving/training
+    (the optional TP axis SURVEY §2.6 flags for the 4B Ref model).
+    tp=-1 -> all remaining devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tp == -1:
+        assert n % data == 0
+        tp = n // data
+    assert data * tp == n, f"{data}x{tp} != {n} devices"
+    return Mesh(np.asarray(devices).reshape(data, tp), ("data", "tp"))
+
+
+# Megatron-style decoder TP rules: column-parallel for the projections
+# whose OUTPUT carries heads / ffn channels, row-parallel where that
+# axis is contracted back to hidden — XLA then inserts exactly one
+# reduce per attention/MLP block (the psum the Megatron pattern
+# prescribes), with activations sharded (B, L, heads/tp, D).
+_TP_COL = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+           "qkv", "fc1", "fc0")
+_TP_ROW = ("o_proj", "down_proj", "proj", "fc2")
+
+
+def ref_tp_sharding(mesh: Mesh, params: Any, axis: str = "tp") -> Any:
+    """Tensor-parallel sharding specs for the Ref (Qwen3-VL) param
+    tree. Column-parallel kernels shard the output dim, row-parallel
+    the input dim, embeddings the vocab dim; norms/biases/small
+    extras replicate."""
+    size = mesh.shape[axis]
+
+    def spec(path, x):
+        segs = [getattr(p, "key", str(getattr(p, "idx", p)))
+                for p in path]
+        name = segs[-1]
+        parent = segs[-2] if len(segs) > 1 else ""
+        if size == 1 or not hasattr(x, "shape") or x.ndim < 2:
+            return NamedSharding(mesh, P())
+        if "extras" in segs:  # grounding extras are tiny; replicate
+            return NamedSharding(mesh, P())
+        if name == "embedding" and x.shape[0] % size == 0:
+            return NamedSharding(mesh, P(axis, None))
+        if name == "kernel" and x.ndim == 2:
+            if parent in _TP_COL and x.shape[1] % size == 0:
+                return NamedSharding(mesh, P(None, axis))
+            if parent in _TP_ROW and x.shape[0] % size == 0:
+                return NamedSharding(mesh, P(axis, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch with the leading axis over "data".
 
