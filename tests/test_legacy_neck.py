@@ -96,3 +96,35 @@ def test_efficient_csp(rng):
     g = jnp.asarray(rng.standard_normal((1, 4, 64), dtype=np.float32))
     y = init_apply(EfficientCSPLayerWithTwoConv(32, num_blocks=1), x, g)
     assert y.shape == (1, 8, 8, 32)
+
+
+def test_yolov5_pafpn_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from wedetect_tpu.nn.yolo_world_pafpn import YOLOv5PAFPN
+
+    neck = YOLOv5PAFPN(channels=(64, 128, 256), num_csp_blocks=1)
+    feats = [jnp.zeros((2, 32, 32, 64)), jnp.zeros((2, 16, 16, 128)),
+             jnp.zeros((2, 8, 8, 256))]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert [o.shape for o in outs] == [(2, 32, 32, 64),
+                                       (2, 16, 16, 128),
+                                       (2, 8, 8, 256)]
+
+
+def test_yolov8_pafpn_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from wedetect_tpu.nn.yolo_world_pafpn import YOLOv8PAFPN
+
+    neck = YOLOv8PAFPN(out_channels=(64, 128, 256), num_csp_blocks=1)
+    feats = [jnp.zeros((2, 32, 32, 64)), jnp.zeros((2, 16, 16, 128)),
+             jnp.zeros((2, 8, 8, 256))]
+    variables = neck.init(jax.random.PRNGKey(0), feats)
+    outs = neck.apply(variables, feats)
+    assert [o.shape for o in outs] == [(2, 32, 32, 64),
+                                       (2, 16, 16, 128),
+                                       (2, 8, 8, 256)]

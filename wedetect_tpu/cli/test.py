@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--tta", action="store_true",
+                   help="horizontal-flip test-time augmentation "
+                        "(reference test.py --tta)")
     p.add_argument("--lvis", action="store_true",
                    help="LVIS fixed-AP protocol (neg/not-exhaustive\n                   image domains, per-class cap, APr/c/f)")
     p.add_argument("--out", default="")
@@ -66,7 +69,8 @@ def main(argv=None):
                             det._text_embeds,
                             batch_size=args.batch_size,
                             max_images=args.max_images or None,
-                            progress=True, lvis=args.lvis)
+                            progress=True, lvis=args.lvis,
+                            tta=args.tta)
     print(json.dumps(metrics, indent=2))
     if args.out:
         with open(args.out, "w") as f:

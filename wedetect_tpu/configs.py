@@ -35,6 +35,10 @@ class TestCfg:
     score_thr: float = 0.001
     nms_iou_thr: float = 0.7
     max_per_img: int = 300
+    # test-time augmentation merge (reference test.py:96-102 default
+    # DetTTAModel tta_cfg: nms iou 0.5, max_per_img 100)
+    tta_nms_iou_thr: float = 0.5
+    tta_max_per_img: int = 100
 
 
 @dataclasses.dataclass(frozen=True)

@@ -38,10 +38,15 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
                   text_embeds, batch_size: int = 8,
                   class_mask=None, max_images: Optional[int] = None,
                   progress: bool = False,
-                  lvis: bool = False) -> Dict[str, float]:
+                  lvis: bool = False,
+                  tta: bool = False) -> Dict[str, float]:
     """Run the detector over the dataset and compute COCO (or LVIS
-    fixed-AP) bbox metrics."""
+    fixed-AP) bbox metrics. tta=True adds the horizontal-flip view
+    and merges per DetTTAModel semantics (reference test.py --tta)."""
     import jax.numpy as jnp
+
+    from wedetect_tpu.models.wedetect import detect_step_tta
+    step = detect_step_tta if tta else detect_step
 
     indices = list(process_shard(len(ds)))
     if max_images:
@@ -59,7 +64,7 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
     w = jnp.asarray(text_embeds) if text_embeds is not None else None
 
     for bi, batch in enumerate(loader):
-        det = detect_step(
+        det = step(
             cfg, variables, jnp.asarray(batch["images"]), w,
             jnp.asarray(batch["scale_factor"]),
             jnp.asarray(batch["pad_param"]),

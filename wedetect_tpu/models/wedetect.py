@@ -30,7 +30,8 @@ from wedetect_tpu.nn.bifpan import CSPRepBiFPANNeck
 from wedetect_tpu.nn.convnext import ConvNeXt
 from wedetect_tpu.nn.head import HeadOutputs, WeDetectHead
 from wedetect_tpu.ops.boxes import distance2bbox
-from wedetect_tpu.ops.nms import NMSResult, batched_static_nms
+from wedetect_tpu.ops.nms import (NMSResult, batched_static_nms,
+                                  nms_labeled)
 from wedetect_tpu.ops.priors import flat_priors_and_strides
 
 
@@ -195,6 +196,55 @@ def detect_step(cfg: ModelCfg, variables, images_u8, w, scale_factor,
     dec = decode_outputs(cfg, out, images_u8.shape[1:3])
     return postprocess(cfg, dec, scale_factor, pad_param, ori_shape,
                        class_mask)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def detect_step_tta(cfg: ModelCfg, variables, images_u8, w,
+                    scale_factor, pad_param, ori_shape,
+                    class_mask=None) -> Detections:
+    """Flip test-time augmentation in one jitted step.
+
+    Reference: test.py:95-128 --tta with the default DetTTAModel
+    (horizontal RandomFlip view added after LetterResize; per-view
+    predictions merged by one class-aware NMS at iou 0.5, top 100).
+
+    TPU re-design: the flipped view is stacked onto the batch axis so
+    both views share ONE 2B-batch forward (better MXU utilization
+    than two launches), then the flipped half's boxes are mirrored
+    back in original-image coordinates and the union goes through a
+    final labeled NMS. The flipped view's letterbox pad is mirrored
+    too (left/right swap) so un-padding is exact — the reference
+    reuses the unflipped pad_param, a <=1 px quirk of its center-pad
+    split that we do not replicate.
+    """
+    b = images_u8.shape[0]
+    flipped = images_u8[:, :, ::-1, :]
+    pad_f = pad_param[:, jnp.asarray([0, 1, 3, 2])]
+    det = detect_step(
+        cfg, variables,
+        jnp.concatenate([images_u8, flipped], 0), w,
+        jnp.concatenate([scale_factor, scale_factor], 0),
+        jnp.concatenate([pad_param, pad_f], 0),
+        jnp.concatenate([ori_shape, ori_shape], 0), class_mask)
+
+    fb = det.boxes[b:]
+    wmax = ori_shape[:, 1][:, None]
+    fb = jnp.stack([wmax - fb[..., 2], fb[..., 1],
+                    wmax - fb[..., 0], fb[..., 3]], axis=-1)
+    boxes = jnp.concatenate([det.boxes[:b], fb], 1)
+    scores = jnp.concatenate([det.scores[:b], det.scores[b:]], 1)
+    labels = jnp.concatenate([det.labels[:b], det.labels[b:]], 1)
+    valid = jnp.concatenate([det.valid[:b], det.valid[b:]], 1)
+    embeds = jnp.concatenate([det.embeds[:b], det.embeds[b:]], 1)
+
+    t = cfg.test
+    res = nms_labeled(boxes, scores, labels, valid,
+                      t.tta_nms_iou_thr, t.tta_max_per_img)
+    kept_embeds = jnp.take_along_axis(
+        embeds, jnp.clip(res.anchors, 0)[..., None], axis=1)
+    return Detections(boxes=res.boxes, scores=res.scores,
+                      labels=res.labels, embeds=kept_embeds,
+                      anchors=res.anchors, valid=res.valid)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))

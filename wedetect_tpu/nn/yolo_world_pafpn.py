@@ -292,3 +292,129 @@ class EfficientCSPLayerWithTwoConv(nn.Module):
         cat = jnp.concatenate(parts, axis=-1)
         return ConvBN(self.out_ch, 1, 1, "silu", dtype=self.dtype,
                       name="final_conv", **BN_KW)(cat, train)
+
+
+class CSPLayer(nn.Module):
+    """mmdet-style C3 CSP layer (YOLOv5 neck brick).
+
+    Behavioral spec: mmdet CSPLayer as used by reference
+    wedetect/models/necks/yolov5_pafpn.py:113-175 — main/short 1x1
+    convs to out*expand channels, N darknet bottlenecks (1x1 -> 3x3)
+    on the main path, concat, final 1x1.
+    """
+
+    out_ch: int
+    expand_ratio: float = 0.5
+    num_blocks: int = 1
+    add_identity: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mid = int(self.out_ch * self.expand_ratio)
+        main = ConvBN(mid, 1, 1, "silu", dtype=self.dtype,
+                      name="main_conv", **BN_KW)(x, train)
+        short = ConvBN(mid, 1, 1, "silu", dtype=self.dtype,
+                       name="short_conv", **BN_KW)(x, train)
+        for i in range(self.num_blocks):
+            y = ConvBN(mid, 1, 1, "silu", dtype=self.dtype,
+                       name=f"block{i}_conv1", **BN_KW)(main, train)
+            y = ConvBN(mid, 3, 1, "silu", dtype=self.dtype,
+                       name=f"block{i}_conv2", **BN_KW)(y, train)
+            main = main + y if self.add_identity else y
+        cat = jnp.concatenate([main, short], axis=-1)
+        return ConvBN(self.out_ch, 1, 1, "silu", dtype=self.dtype,
+                      name="final_conv", **BN_KW)(cat, train)
+
+
+def _upsample2x(x):
+    return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+
+
+class YOLOv5PAFPN(nn.Module):
+    """Text-free YOLOv5 PAFPN (registered-but-unused upstream).
+
+    Behavioral spec: reference
+    wedetect/models/necks/yolov5_pafpn.py:26-181 over the
+    BaseYOLONeck forward (base_yolo_neck.py:15-261): reduce the top
+    level 1x1, nearest-2x upsample + concat + C3 top-down (with a
+    trailing 1x1 reduce on the upper level), strided-conv downsample
+    + concat + C3 bottom-up. in_channels == out_channels per level.
+    """
+
+    channels: Tuple[int, ...] = (256, 512, 1024)
+    num_csp_blocks: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array],
+                 train: bool = False):
+        ch = self.channels
+        n = len(ch)
+        assert n == 3, "3-level PAFPN"
+        reduce_top = ConvBN(ch[-2], 1, 1, "silu", dtype=self.dtype,
+                            name="reduce2", **BN_KW)(feats[-1], train)
+        reduced = [feats[0], feats[1], reduce_top]
+
+        # top-down
+        inner = [reduced[-1]]
+        for idx in range(n - 1, 0, -1):
+            cat = jnp.concatenate([_upsample2x(inner[0]),
+                                   reduced[idx - 1]], axis=-1)
+            y = CSPLayer(ch[idx - 1], num_blocks=self.num_csp_blocks,
+                         add_identity=False, dtype=self.dtype,
+                         name=f"top_down{n - 1 - idx}")(cat, train)
+            if idx != 1:
+                y = ConvBN(ch[idx - 2], 1, 1, "silu", dtype=self.dtype,
+                           name=f"top_down{n - 1 - idx}_reduce",
+                           **BN_KW)(y, train)
+            inner.insert(0, y)
+
+        # bottom-up
+        outs = [inner[0]]
+        for idx in range(n - 1):
+            down = ConvBN(outs[-1].shape[-1], 3, 2, "silu",
+                          dtype=self.dtype, name=f"downsample{idx}",
+                          **BN_KW)(outs[-1], train)
+            cat = jnp.concatenate([down, inner[idx + 1]], axis=-1)
+            outs.append(CSPLayer(
+                ch[idx + 1], num_blocks=self.num_csp_blocks,
+                add_identity=False, dtype=self.dtype,
+                name=f"bottom_up{idx}")(cat, train))
+        return tuple(outs)
+
+
+class YOLOv8PAFPN(nn.Module):
+    """Text-free YOLOv8 PAFPN: the YOLOWorldPAFPN topology with plain
+    CSPLayerWithTwoConv fusion (reference
+    wedetect/models/necks/yolov8_pafpn.py:25-113)."""
+
+    out_channels: Tuple[int, ...] = (256, 512, 1024)
+    num_csp_blocks: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jax.Array],
+                 train: bool = False):
+        n = len(feats)
+        inner = [feats[-1]]
+        for idx in range(n - 1, 0, -1):
+            cat = jnp.concatenate([_upsample2x(inner[0]),
+                                   feats[idx - 1]], axis=-1)
+            inner.insert(0, CSPLayerWithTwoConv(
+                self.out_channels[idx - 1],
+                num_blocks=self.num_csp_blocks, add_identity=False,
+                dtype=self.dtype,
+                name=f"top_down{n - 1 - idx}")(cat, train))
+        outs = [inner[0]]
+        for idx in range(n - 1):
+            down = ConvBN(self.out_channels[idx], 3, 2, "silu",
+                          dtype=self.dtype, name=f"downsample{idx}",
+                          **BN_KW)(outs[-1], train)
+            cat = jnp.concatenate([down, inner[idx + 1]], axis=-1)
+            outs.append(CSPLayerWithTwoConv(
+                self.out_channels[idx + 1],
+                num_blocks=self.num_csp_blocks, add_identity=False,
+                dtype=self.dtype,
+                name=f"bottom_up{idx}")(cat, train))
+        return tuple(outs)

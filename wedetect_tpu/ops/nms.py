@@ -256,3 +256,26 @@ def batched_static_nms(scores: jax.Array, boxes: jax.Array,
         class_mask=class_mask, multi_label=multi_label)
     ob, os_, ol, oa, valid = jax.vmap(fn)(scores, boxes)
     return NMSResult(ob, os_, ol, oa, valid)
+
+
+def nms_labeled(boxes: jax.Array, scores: jax.Array,
+                labels: jax.Array, valid: jax.Array,
+                iou_thr: float, max_out: int) -> NMSResult:
+    """Batched class-aware NMS over already-labeled detections.
+
+    boxes (B, N, 4), scores (B, N), labels (B, N), valid (B, N) ->
+    NMSResult with max_out slots per image (anchors = source index
+    into the merged N axis). Used by the TTA merge (mmdet
+    DetTTAModel semantics: concatenate per-view detections, one
+    final NMS, keep top max_per_img — reference test.py:96-102
+    tta_cfg).
+    """
+    def one(b, s, l, v):
+        s = jnp.where(v, s.astype(jnp.float32), -jnp.inf)
+        order = jnp.argsort(-s)
+        return _greedy_nms_tiled(
+            b[order].astype(jnp.float32), s[order], l[order],
+            order.astype(jnp.int32), iou_thr, max_out)
+
+    ob, os_, ol, oa, ov = jax.vmap(one)(boxes, scores, labels, valid)
+    return NMSResult(ob, os_, ol, oa, ov)
