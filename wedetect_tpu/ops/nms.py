@@ -155,17 +155,27 @@ def _greedy_nms_tiled(boxes, scores, labels, anchors, iou_thr, max_out,
     return kb, ks, kl, ka, kv
 
 
-def _topk_threshold(flat: jax.Array, k: int, iters: int = 42):
+def _topk_threshold(flat: jax.Array, k: int, iters: int = 42,
+                    row: int = 128):
     """Exact-to-f32-ulp top-k over a huge score array in [0, 1].
 
     lax.top_k is sort-based: O(N log N) over all N=A*K candidates
-    (213 ms at LVIS scale, N=10.75M). The k-th value is instead found
-    by BISECTION on the bit pattern: for non-negative f32, the int32
-    bitcast is order-preserving, so 31 integer bisection steps (each a
-    bandwidth-bound count pass) locate the k-th value EXACTLY — down
-    to denormals; -inf-masked entries bitcast negative and never
-    match. The <=k survivors are located with a cumsum + searchsorted
-    compaction and only those k sorted. ~20x faster at LVIS scale.
+    (278 ms at LVIS scale, N=10.75M, one v5e). Instead:
+
+    1. The k-th value is found by BISECTION on the bit pattern: for
+       non-negative f32, the int32 bitcast is order-preserving, so 31
+       integer bisection steps (each a bandwidth-bound count pass)
+       locate it EXACTLY, down to denormals; -inf-masked entries
+       bitcast negative and never match. (~20 ms)
+    2. The <=k survivors are extracted by RANKED EXTRACTION in flat
+       order: per-128-lane-row survivor counts -> exclusive offsets;
+       the q-th survivor's row via a compare-reduce (fused, no big
+       intermediate); its lane via a structured row gather + 128-wide
+       cumsum. TPU-critical: this replaces a searchsorted over the
+       N-element cumsum, whose ~24x k random gathers dominated
+       (~104 ms); the structured form runs in ~36 ms. (measurements:
+       PERF.md "LVIS-scale top-k".)
+    3. Only the k survivors are sorted (stable, desc).
 
     Exactly equivalent to lax.top_k up to ties at the k-th value
     (the same arbitrary-tie freedom torch.sort has). Returns
@@ -184,12 +194,28 @@ def _topk_threshold(flat: jax.Array, k: int, iters: int = 42):
     lo, hi = jax.lax.fori_loop(
         0, max(iters, 32), body,
         (jnp.int32(-1), jnp.int32(0x7F800000)))
+
     mask = bits > hi                         # count <= k
-    csum = jnp.cumsum(mask.astype(jnp.int32))
-    m = csum[-1]
-    # index of the (j+1)-th selected element, original order
-    sel = jnp.searchsorted(csum, jnp.arange(1, k + 1), side="left")
-    valid = jnp.arange(k) < m
+    pad = (-n) % row
+    if pad:
+        mask = jnp.pad(mask, (0, pad))
+    nr = (n + pad) // row
+    m2 = mask.reshape(nr, row)
+    cnt = m2.sum(-1)                         # (nr,)
+    row_off = jnp.cumsum(cnt) - cnt          # exclusive
+    ends = row_off + cnt
+    q = jnp.arange(k, dtype=jnp.int32)
+    # row of the q-th survivor: #rows that end at or before q
+    # (broadcast compare fuses into the reduce — no (k, nr) buffer)
+    row_q = jnp.sum((ends[None, :] <= q[:, None]).astype(jnp.int32),
+                    axis=1)
+    row_q = jnp.clip(row_q, 0, nr - 1)
+    lane_rank = q - row_off[row_q]
+    rows = m2[row_q]                         # (k, row) structured
+    cs = jnp.cumsum(rows.astype(jnp.int32), -1) - 1
+    lane = jnp.argmax((cs == lane_rank[:, None]) & rows, axis=-1)
+    sel = row_q * row + lane.astype(jnp.int32)
+    valid = q < ends[-1]
     sel = jnp.clip(sel, 0, n - 1)
     vals = jnp.where(valid, flat[sel], -jnp.inf)
     order = jnp.argsort(-vals, stable=True)
@@ -242,6 +268,66 @@ def static_nms_single(scores_ak: jax.Array, boxes_a: jax.Array,
                              max_out)
 
 
+# per-anchor pre-reduction width for the Pallas fast path
+ROW_TOPK_T = 64
+
+
+def _pick_row_block(rows: int) -> int | None:
+    for rb in (240, 168, 120, 80, 56, 40, 24, 16, 8):
+        if rows % rb == 0:
+            return rb
+    return None
+
+
+def _batched_select_topk(scores: jax.Array, score_thr: float,
+                         nms_pre: int, class_mask, t: int,
+                         row_block: int):
+    """Batched exact top-nms_pre (value, anchor, label) selection.
+
+    Two exact regimes, picked by a one-pass density check:
+
+    - SPARSE (every anchor has <= T candidates above score_thr —
+      the real-checkpoint regime, where most sigmoid scores are
+      ~0): the Pallas per-anchor top-T kernel
+      (ops/pallas_topk.py) extracts ALL above-threshold candidates
+      (structured VMEM access, no gathers), then one lax.top_k over
+      the A*T remainder. ~32 ms at LVIS scale vs 124 ms.
+    - DENSE (some anchor exceeds T — e.g. uncalibrated heads, where
+      scores correlate per anchor through the shared embedding
+      scale): the bisection + ranked-extraction path
+      (_topk_threshold). ~56 ms.
+
+    Both resolve ties by flat (anchor-major, class-minor) index, the
+    same order lax.top_k uses, so the selected set is identical
+    whichever branch runs.
+    """
+    from wedetect_tpu.ops.pallas_topk import row_topk
+
+    b, a, k = scores.shape
+    s = scores.astype(jnp.float32)
+    if class_mask is not None:
+        s = jnp.where(class_mask[None, None, :], s, -jnp.inf)
+    s = jnp.where(s > score_thr, s, -jnp.inf)
+
+    dense = jnp.max(jnp.sum(s > -jnp.inf, axis=-1)) > t
+
+    def sparse_path(_):
+        vals, cls = row_topk(s.reshape(b * a, k), t, row_block)
+        tv, ti = jax.lax.top_k(vals.reshape(b, a * t), nms_pre)
+        anchor_idx = (ti // t).astype(jnp.int32)
+        label_idx = jnp.take_along_axis(
+            cls.reshape(b, a * t), ti, axis=1).astype(jnp.int32)
+        return tv, anchor_idx, label_idx
+
+    def dense_path(_):
+        flat = s.reshape(b, a * k)
+        tvs, tis = jax.vmap(lambda f: _topk_threshold(f, nms_pre))(flat)
+        return (tvs, (tis // k).astype(jnp.int32),
+                (tis % k).astype(jnp.int32))
+
+    return jax.lax.cond(dense, dense_path, sparse_path, None)
+
+
 def batched_static_nms(scores: jax.Array, boxes: jax.Array,
                        score_thr: float = 0.001, nms_pre: int = 30000,
                        iou_thr: float = 0.7, max_out: int = 300,
@@ -251,6 +337,23 @@ def batched_static_nms(scores: jax.Array, boxes: jax.Array,
 
     scores: (B, A, K) post-sigmoid; boxes: (B, A, 4) xyxy.
     """
+    b, a, k = scores.shape
+    t = min(ROW_TOPK_T, k)
+    rb = _pick_row_block(b * a)
+    np_eff = min(nms_pre, a * k)
+    if (multi_label and k > 1 and a * k >= TOPK_THRESHOLD_MIN_N
+            and rb is not None and np_eff <= a * t):
+        tv, anchor_idx, label_idx = _batched_select_topk(
+            scores, score_thr, np_eff, class_mask, t, rb)
+
+        def one(bx, ts, ai, li):
+            return _greedy_nms_tiled(bx[ai].astype(jnp.float32), ts,
+                                     li, ai, iou_thr, max_out)
+
+        ob, os_, ol, oa, valid = jax.vmap(one)(
+            boxes, tv, anchor_idx, label_idx)
+        return NMSResult(ob, os_, ol, oa, valid)
+
     fn = lambda s, b: static_nms_single(  # noqa: E731
         s, b, score_thr, nms_pre, iou_thr, max_out,
         class_mask=class_mask, multi_label=multi_label)
