@@ -88,18 +88,19 @@ def bench_detect(size, k, batches, iters):
     return best
 
 
-def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5):
-    """2B Ref REC scoring: vision tower (40x30 grid) + one batched
+def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
+              variant="2b"):
+    """Ref REC scoring: vision tower (40x30 grid) + one batched
     flash-attention prefill scoring `proposals` boxes for `queries`
     query rows. queries/s compares against the reference's 6.6 FPS
-    (ONE query per forward)."""
+    (2B) / 5.3 FPS (4B) — ONE query per forward upstream."""
     import jax
     import jax.numpy as jnp
 
     from wedetect_tpu.models.ref import RefModules, ref_score_step
-    from wedetect_tpu.nn.qwen3vl import ref_2b
+    from wedetect_tpu.nn.qwen3vl import ref_2b, ref_4b
 
-    cfg = ref_2b()
+    cfg = ref_2b() if variant == "2b" else ref_4b()
     gh, gw = 40, 30
     mh, mw = gh // 2, gw // 2
     rng = np.random.default_rng(0)
@@ -131,14 +132,16 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5):
                              jnp.asarray([960.0, 1280.0]), 5,
                              jnp.asarray(objpos)),
         jax.random.PRNGKey(0))["params"]
-    print(f"# ref2b params: "
+    print(f"# ref{variant} params: "
           f"{sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes)) / 1e9:.2f}B",
           file=sys.stderr)
-    r = np.random.default_rng(1)
-    params = jax.tree.map(
-        lambda s: jnp.asarray((r.standard_normal(s.shape) * 0.02)
-                              .astype(np.float32)
-                              .astype(jnp.bfloat16)), shapes)
+    # device-side random init (host-side numpy takes minutes at 4B)
+    leaves, treedef = jax.tree.flatten(shapes)
+    base = jax.random.PRNGKey(1)
+    params = jax.tree.unflatten(treedef, [
+        jax.random.normal(jax.random.fold_in(base, i), s.shape,
+                          jnp.bfloat16) * jnp.bfloat16(0.02)
+        for i, s in enumerate(leaves)])
 
     idsj = jnp.asarray(ids)
     argv = (patches, idsj, jnp.asarray(mask),
@@ -155,7 +158,7 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5):
 
     dt = _run_chained(step, idsj, iters)
     qps = queries / dt
-    print(f"# ref2b L={seq_len} Q={queries}: {qps:.1f} queries/s "
+    print(f"# ref{variant} L={seq_len} Q={queries}: {qps:.1f} queries/s "
           f"({dt * 1e3:.1f} ms)", file=sys.stderr)
     del params
     gc.collect()
@@ -167,11 +170,13 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
+    quick = "--quick" in sys.argv  # headline row only, fewer iters
 
-    base = bench_detect("base", 80, (8, 16) if on_tpu else (1,),
-                        15 if on_tpu else 2)
+    base = bench_detect("base", 80,
+                        ((8,) if quick else (8, 16)) if on_tpu else (1,),
+                        (5 if quick else 15) if on_tpu else 2)
     sub = {}
-    if on_tpu:
+    if on_tpu and not quick:
         try:
             large = bench_detect("large", 80, (4,), 5)
             sub["wedetect_large_1280_img_per_s"] = round(large, 2)
@@ -189,6 +194,12 @@ def main():
             sub["ref2b_vs_baseline"] = round(qps / 6.6, 3)
         except Exception as e:
             print(f"# ref bench failed: {e!r}", file=sys.stderr)
+        try:
+            qps4 = bench_ref(variant="4b", iters=3)
+            sub["ref4b_queries_per_s_l2048"] = round(qps4, 2)
+            sub["ref4b_vs_baseline"] = round(qps4 / 5.3, 3)
+        except Exception as e:
+            print(f"# ref4b bench failed: {e!r}", file=sys.stderr)
 
     baseline = 35.1  # reference WeDetect-Base FPS (BASELINE.md)
     print(json.dumps({

@@ -141,11 +141,13 @@ def load_ref_head():
     # iou_loss first (needs only the mmdet stubs)
     stub_names = None
     try:
-        # temporary placeholder stubs so iou_loss imports
+        # temporary placeholder stubs so iou_loss imports (forced
+        # assignment: other tests, e.g. test_assigner, leave partial
+        # mmdet stubs behind; saved modules are restored in finally)
         pre = _stub_modules(None)
         stub_names = set(pre)
         for k, v in pre.items():
-            sys.modules.setdefault(k, v)
+            sys.modules[k] = v
         spec = importlib.util.spec_from_file_location(
             "_ref_iou_loss", os.path.join(losses_dir, "iou_loss.py"))
         iou_loss_mod = importlib.util.module_from_spec(spec)
