@@ -77,3 +77,29 @@ def test_ref_scorer(tiny, monkeypatch):
     # batching invariance: single query matches its batched result
     s1 = scorer.score(img, props, ["red box"], pad_token_id=0)
     np.testing.assert_allclose(s1[0], scores[0], rtol=1e-4, atol=1e-5)
+
+
+def test_prefix_sharing_matches_joint(tiny, monkeypatch):
+    """Joint and prefix-sharing scorer paths produce the same scores
+    (same math, different factorization — see models/ref.prefill_split)."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    common = dict(cfg=cfg, params=params, tokenizer=FakeTok(),
+                  seq_buckets=(64, 128), query_batch=2,
+                  max_proposals=3)
+    img = np.zeros((64, 64, 3), np.uint8)
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
+                      [5, 20, 40, 64]], np.float32)
+    queries = ["red box", "dog", "cat"]
+    joint = RefScorer(prefix_sharing=False, **common).score(
+        img, props, queries, pad_token_id=0)
+    split = RefScorer(prefix_sharing=True, **common).score(
+        img, props, queries, pad_token_id=0)
+    np.testing.assert_allclose(split, joint, rtol=1e-5, atol=1e-6)

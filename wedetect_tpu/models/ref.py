@@ -195,30 +195,13 @@ class RefModules(nn.Module):
         indices of the <object> slots. Returns (B, N) logits.
         """
         c = self.cfg
-        m = c.vision.merge
-        mh, mw = self.grid_h // m, self.grid_w // m
         d = c.text.hidden
-
-        img_embeds, taps = self.vision(patches)     # (V, D), taps
-        # RoI pyramid from the first temporal group (grounding is
+        # vision + RoI from the first temporal group (grounding is
         # image-only: grid_t == 1 except video SFT, where boxes are
-        # dummy)
-        scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
-        scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
-        scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
-        s1, s2, s3 = self.extras.build_pyramid(scale1, scale2, scale3)
-
-        # boxes: original -> (W*32, H*32) space
+        # dummy); boxes: original -> (W*32, H*32) space
         # (reference qwen3vl_referring.py:217 — ori_shape is (w, h))
-        norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
-                           jnp.float32)
-        ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
-        boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
-        obj = self.extras.object_feats(s1, s2, s3, boxes_32)  # (N, D)
-
-        # 2-D sine pos embeds repeat per temporal group (video SFT)
-        img_tokens = img_embeds + jnp.tile(
-            self.extras.image_pos(mh, mw), (self.grid_t, 1))
+        img_tokens, obj, taps = self._vision_and_objects(
+            patches, boxes_xyxy, ori_wh)
 
         x = self.embed(input_ids)                    # (B, L, D)
         b, l, _ = x.shape
@@ -245,6 +228,71 @@ class RefModules(nn.Module):
         logits = self.extras.score(hidden)           # (B, L)
         return jnp.take_along_axis(logits, pos, axis=1)
 
+    def _vision_and_objects(self, patches, boxes_xyxy, ori_wh):
+        """Shared front half: vision tower + RoI object features +
+        pos-embedded image tokens."""
+        c = self.cfg
+        m = c.vision.merge
+        mh, mw = self.grid_h // m, self.grid_w // m
+        d = c.text.hidden
+        img_embeds, taps = self.vision(patches)
+        scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
+        scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
+        scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
+        s1, s2, s3 = self.extras.build_pyramid(scale1, scale2, scale3)
+        norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
+                           jnp.float32)
+        ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
+        boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
+        obj = self.extras.object_feats(s1, s2, s3, boxes_32)
+        img_tokens = img_embeds + jnp.tile(
+            self.extras.image_pos(mh, mw), (self.grid_t, 1))
+        return img_tokens, obj, taps
+
+    def prefill_split(self, patches, prefix_ids, suffix_ids,
+                      prefix_mask, suffix_mask, prefix_position_ids,
+                      suffix_position_ids, boxes_xyxy, ori_wh,
+                      visual_start: int, object_positions):
+        """Prefix-sharing scoring: the image-bearing prefix (identical
+        for every query of one image) runs through the decoder ONCE.
+
+        prefix_ids/prefix_mask: (1, P) shared prefix (chat preamble +
+        vision span), right-padded to a flash-tileable P.
+        suffix_ids/suffix_mask: (B, S) per-query tails (query text +
+        <object> slots), right-padded.
+        prefix/suffix_position_ids: (3, 1, P) / (3, B, S) MRoPE ids of
+        the CONCATENATED sequence, split at the true prefix length.
+        object_positions: (B, N) SUFFIX-relative <object> indices.
+        Returns (B, N) logits — identical to __call__ on the joint
+        sequences (tests/test_prefix_prefill.py pins this).
+        """
+        c = self.cfg
+        d = c.text.hidden
+        img_tokens, obj, taps = self._vision_and_objects(
+            patches, boxes_xyxy, ori_wh)
+
+        xp = self.embed(prefix_ids)                  # (1, P, D)
+        v = img_tokens.shape[0]
+        xp = jax.lax.dynamic_update_slice_in_dim(
+            xp, img_tokens[None].astype(xp.dtype), visual_start, axis=1)
+
+        xs = self.embed(suffix_ids)                  # (B, S, D)
+        b = xs.shape[0]
+        bidx = jnp.arange(b)[:, None]
+        pos = jnp.clip(object_positions, 0)
+        cur = xs[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(xs.dtype),
+                                          (b,) + obj.shape), cur)
+        xs = xs.at[bidx, pos].set(newv)
+
+        hidden = self.text.prefill_split(
+            xp, xs, prefix_position_ids, suffix_position_ids,
+            prefix_mask, suffix_mask, deepstack_embeds=list(taps),
+            visual_start=visual_start)
+        logits = self.extras.score(hidden)           # (B, S)
+        return jnp.take_along_axis(logits, pos, axis=1)
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 12, 13))
 def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
@@ -258,6 +306,25 @@ def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 12, 15, 16))
+def ref_score_step_split(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                         patches, prefix_ids, suffix_ids, prefix_mask,
+                         suffix_mask, prefix_position_ids,
+                         suffix_position_ids, boxes_xyxy,
+                         visual_start: int, ori_wh, object_positions,
+                         dtype=jnp.float32, attn_impl: str = "auto"):
+    """Jitted prefix-sharing REC scoring (see RefModules.prefill_split):
+    the shared image prefix runs the decoder once; only the per-query
+    suffixes run batched. (B, N) proposal logits."""
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype,
+                     attn_impl=attn_impl)
+    return mod.apply(
+        {"params": params}, patches, prefix_ids, suffix_ids,
+        prefix_mask, suffix_mask, prefix_position_ids,
+        suffix_position_ids, boxes_xyxy, ori_wh, visual_start,
+        object_positions, method="prefill_split")
 
 
 def sigmoid_focal_loss(logits: jax.Array, targets: jax.Array,

@@ -45,10 +45,14 @@ class RefScorer:
     grid_buckets: Optional[Tuple[Tuple[int, int], ...]] = None
     dtype: str = "float32"                 # "bfloat16" for deployment
     attn_impl: str = "auto"                # flash on TPU by default
+    # prefix sharing: the image-bearing prefix (identical for every
+    # query of one image) runs the decoder ONCE; per-query suffixes
+    # attend to its KV. Identical logits, far fewer dense FLOPs.
+    prefix_sharing: bool = True
+    suffix_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
 
-    def build_sequence(self, query: str, n_img: int, n_obj: int
-                       ) -> np.ndarray:
-        """Token ids for one chat with the image/object spans."""
+    def build_prefix(self, n_img: int) -> np.ndarray:
+        """Shared token prefix: chat preamble + vision span."""
         c = self.cfg
         tok = self.tokenizer
         assert tok is not None, "tokenizer required to build sequences"
@@ -56,14 +60,26 @@ class RefScorer:
         vs = [c.vision_start_token_id]
         img = [c.image_token_id] * n_img
         ve = tok.encode("<|vision_end|>", add_special_tokens=False)
+        return np.array(pre + vs + img + ve, np.int32)
+
+    def build_suffix(self, query: str, n_obj: int) -> np.ndarray:
+        """Per-query tail: query text + <object> slots."""
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required to build sequences"
         q = tok.encode(QUERY_TEMPLATE % query,
                        add_special_tokens=False)
         mid = tok.encode("<|im_end|>\n<|im_start|>assistant\n",
                          add_special_tokens=False)
         obj = [c.object_token_id] * n_obj
         end = tok.encode("<|im_end|>\n", add_special_tokens=False)
-        return np.array(pre + vs + img + ve + q + mid + obj + end,
-                        np.int32)
+        return np.array(q + mid + obj + end, np.int32)
+
+    def build_sequence(self, query: str, n_img: int, n_obj: int
+                       ) -> np.ndarray:
+        """Token ids for one chat with the image/object spans."""
+        return np.concatenate([self.build_prefix(n_img),
+                               self.build_suffix(query, n_obj)])
 
     def score(self, image: np.ndarray, proposals: np.ndarray,
               queries: Sequence[str],
@@ -98,6 +114,11 @@ class RefScorer:
             temporal_patch=c.vision.temporal_patch,
             merge=c.vision.merge, grid_buckets=self.grid_buckets)
         n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
+
+        if self.prefix_sharing:
+            return self._score_split(patches, gh, gw, proposals, n,
+                                     n_pad, n_img, queries, w, h,
+                                     pad_token_id)
 
         seqs = [self.build_sequence(q, n_img, n_pad) for q in queries]
         max_len = max(len(s) for s in seqs)
@@ -136,6 +157,76 @@ class RefScorer:
                 jnp.asarray(idsb), jnp.asarray(maskb),
                 jnp.asarray(posb), visual_start,
                 jnp.asarray(proposals),
+                jnp.asarray(np.array([w, h], np.float32)),
+                jnp.asarray(objb),
+                {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[self.dtype],
+                self.attn_impl)
+            out[sl] = np.asarray(logits)[:en - st]
+        return 1.0 / (1.0 + np.exp(-out[:, :n]))
+
+    def _score_split(self, patches, gh, gw, proposals, n, n_pad,
+                     n_img, queries, w, h, pad_token_id):
+        """Prefix-sharing scoring path (ref_score_step_split)."""
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.ref import ref_score_step_split
+
+        c = self.cfg
+        prefix = self.build_prefix(n_img)
+        p_real = len(prefix)
+        p_pad = -(-p_real // 128) * 128       # flash-tileable prefix
+        sufs = [self.build_suffix(q, n_pad) for q in queries]
+        s_pad = pad_to_bucket(max(len(s) for s in sufs),
+                              self.suffix_buckets)
+
+        prefix_ids = np.full((1, p_pad), pad_token_id, np.int32)
+        prefix_ids[0, :p_real] = prefix
+        prefix_mask = np.zeros((1, p_pad), np.int32)
+        prefix_mask[0, :p_real] = 1
+        visual_start = int(
+            np.nonzero(prefix == c.image_token_id)[0][0])
+
+        nq = len(sufs)
+        suffix_ids = np.full((nq, s_pad), pad_token_id, np.int32)
+        suffix_mask = np.zeros((nq, s_pad), np.int32)
+        pos_suffix = np.zeros((3, nq, s_pad), np.int32)
+        obj_pos = np.zeros((nq, n_pad), np.int32)
+        pos_prefix = None
+        for i, suf in enumerate(sufs):
+            suffix_ids[i, :len(suf)] = suf
+            suffix_mask[i, :len(suf)] = 1
+            full = np.concatenate([prefix, suf])
+            pos = get_rope_index_single_image(
+                full, c.image_token_id, gh, gw, c.vision.merge)
+            if pos_prefix is None:
+                pos_prefix = np.zeros((3, 1, p_pad), np.int32)
+                pos_prefix[:, 0, :p_real] = pos[:, :p_real]
+            pos_suffix[:, i, :len(suf)] = pos[:, p_real:]
+            obj_pos[i] = np.nonzero(
+                suf == c.object_token_id)[0][:n_pad]
+
+        out = np.zeros((nq, n_pad), np.float32)
+        bsz = self.query_batch
+        for st in range(0, nq, bsz):
+            en = min(st + bsz, nq)
+            pad_rows = bsz - (en - st)
+            sl = slice(st, en)
+            idsb = np.concatenate(
+                [suffix_ids[sl]] + [suffix_ids[st:st + 1]] * pad_rows)
+            maskb = np.concatenate(
+                [suffix_mask[sl]] + [suffix_mask[st:st + 1]] * pad_rows)
+            posb = np.concatenate(
+                [pos_suffix[:, sl]]
+                + [pos_suffix[:, st:st + 1]] * pad_rows, axis=1)
+            objb = np.concatenate(
+                [obj_pos[sl]] + [obj_pos[st:st + 1]] * pad_rows)
+            logits = ref_score_step_split(
+                c, gh, gw, self.params, jnp.asarray(patches),
+                jnp.asarray(prefix_ids), jnp.asarray(idsb),
+                jnp.asarray(prefix_mask), jnp.asarray(maskb),
+                jnp.asarray(pos_prefix), jnp.asarray(posb),
+                jnp.asarray(proposals), visual_start,
                 jnp.asarray(np.array([w, h], np.float32)),
                 jnp.asarray(objb),
                 {"float32": jnp.float32,

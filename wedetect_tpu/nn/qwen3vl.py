@@ -352,12 +352,23 @@ def interleaved_mrope_cos_sin(position_ids: jax.Array,
 
 
 class TextLayer(nn.Module):
+    """One Qwen3 decoder layer.
+
+    prefix_kv: optional (pk, pv) with shape (1, P, kv_heads, head_dim)
+    — post-rope KV of a SHARED leading prefix, concatenated before this
+    call's own keys (end-aligned causal; see ops/attention). The
+    prefix row broadcasts over the batch.
+    return_kv: also return this call's own post-rope (k, v) (pre-GQA
+    -repeat) for use as a later prefix_kv.
+    """
+
     cfg: RefTextCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x, cos, sin, kv_valid):
+    def __call__(self, x, cos, sin, kv_valid, prefix_kv=None,
+                 return_kv=False):
         c = self.cfg
         b, l, _ = x.shape
         y = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_ln")(x)
@@ -373,6 +384,13 @@ class TextLayer(nn.Module):
             k.reshape(b, l, c.kv_heads, c.head_dim))
         v = v.reshape(b, l, c.kv_heads, c.head_dim)
         q, k = _apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+        own_kv = (k, v)
+        if prefix_kv is not None:
+            pk, pv = prefix_kv
+            k = jnp.concatenate(
+                [jnp.broadcast_to(pk, (b,) + pk.shape[1:]), k], axis=1)
+            v = jnp.concatenate(
+                [jnp.broadcast_to(pv, (b,) + pv.shape[1:]), v], axis=1)
         g = c.heads // c.kv_heads
         k = jnp.repeat(k, g, axis=2)
         v = jnp.repeat(v, g, axis=2)
@@ -389,7 +407,8 @@ class TextLayer(nn.Module):
                       name="up_proj")(y)
         y = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
                      name="down_proj")(jax.nn.silu(gate) * up)
-        return x + y
+        out = x + y
+        return (out, own_kv) if return_kv else out
 
 
 class TextModel(nn.Module):
@@ -404,25 +423,83 @@ class TextModel(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        # setattr with the exact historical names ("layer{i}", "norm")
+        # so the param tree matches checkpoints and the converters
+        c = self.cfg
+        for i in range(c.layers):
+            setattr(self, f"layer{i}",
+                    TextLayer(c, dtype=self.dtype,
+                              attn_impl=self.attn_impl))
+        self.norm = RMSNorm(c.rms_eps, dtype=self.dtype)
+
+    @property
+    def _layers(self):
+        return [getattr(self, f"layer{i}")
+                for i in range(self.cfg.layers)]
+
+    def _inject_deepstack(self, x, ds, visual_start):
+        span = jax.lax.dynamic_slice_in_dim(
+            x, visual_start, ds.shape[0], axis=1)
+        return jax.lax.dynamic_update_slice_in_dim(
+            x, span + ds[None], visual_start, axis=1)
+
     def __call__(self, inputs_embeds, position_ids, attention_mask,
                  deepstack_embeds: Optional[Sequence[jax.Array]] = None,
                  visual_start: int = 0):
         c = self.cfg
-        b, l, _ = inputs_embeds.shape
         cos, sin = interleaved_mrope_cos_sin(position_ids, c)
         kv_valid = attention_mask.astype(jnp.int32)
         x = inputs_embeds.astype(self.dtype)
-        for i in range(c.layers):
-            x = TextLayer(c, dtype=self.dtype, attn_impl=self.attn_impl,
-                          name=f"layer{i}")(x, cos, sin, kv_valid)
+        for i, layer in enumerate(self._layers):
+            x = layer(x, cos, sin, kv_valid)
             if deepstack_embeds is not None and i < len(deepstack_embeds):
-                ds = deepstack_embeds[i].astype(self.dtype)
-                span = jax.lax.dynamic_slice_in_dim(
-                    x, visual_start, ds.shape[0], axis=1)
-                x = jax.lax.dynamic_update_slice_in_dim(
-                    x, span + ds[None], visual_start, axis=1)
-        return RMSNorm(c.rms_eps, dtype=self.dtype, name="norm")(x)
+                x = self._inject_deepstack(
+                    x, deepstack_embeds[i].astype(self.dtype),
+                    visual_start)
+        return self.norm(x)
+
+    def prefill_split(self, prefix_embeds, suffix_embeds,
+                      prefix_position_ids, suffix_position_ids,
+                      prefix_mask, suffix_mask,
+                      deepstack_embeds: Optional[
+                          Sequence[jax.Array]] = None,
+                      visual_start: int = 0):
+        """Prefix-sharing prefill: the (1, P, D) prefix — shared by
+        every query row — runs through the dense layers ONCE; its
+        post-rope KV is then broadcast to the (B, S, D) suffix rows,
+        which attend to [prefix KV; own causal KV] (end-aligned
+        rectangular causal, ops/attention). Numerically identical to
+        __call__ on the concatenated (B, P+S) sequences; the dense
+        FLOPs drop from B*(P+S) to P + B*S tokens.
+
+        deepstack taps live inside the prefix span (the image is part
+        of the prefix), so injection happens in the prefix pass only.
+        Layer i's KV is computed from its input — which includes the
+        injections applied after layer i-1 — exactly as in the joint
+        pass. Returns the normed (B, S, D) suffix hidden states.
+        """
+        c = self.cfg
+        b = suffix_embeds.shape[0]
+        cos_p, sin_p = interleaved_mrope_cos_sin(prefix_position_ids, c)
+        cos_s, sin_s = interleaved_mrope_cos_sin(suffix_position_ids, c)
+        pvalid = prefix_mask.astype(jnp.int32)           # (1, P)
+        x = prefix_embeds.astype(self.dtype)
+        kvs = []
+        for i, layer in enumerate(self._layers):
+            x, kv = layer(x, cos_p, sin_p, pvalid, return_kv=True)
+            kvs.append(kv)
+            if deepstack_embeds is not None and i < len(deepstack_embeds):
+                x = self._inject_deepstack(
+                    x, deepstack_embeds[i].astype(self.dtype),
+                    visual_start)
+        full_valid = jnp.concatenate(
+            [jnp.broadcast_to(pvalid, (b, pvalid.shape[1])),
+             suffix_mask.astype(jnp.int32)], axis=1)     # (B, P+S)
+        y = suffix_embeds.astype(self.dtype)
+        for i, layer in enumerate(self._layers):
+            y = layer(y, cos_s, sin_s, full_valid, prefix_kv=kvs[i])
+        return self.norm(y)
 
 
 class Embedder(nn.Module):

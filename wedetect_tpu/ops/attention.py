@@ -49,14 +49,17 @@ def _pick_block(n: int, *, cap: int = 512) -> Optional[int]:
 
 
 def _reference_attention(q, k, v, *, causal, kv_valid, sm_scale):
-    """(B, L, H, D) einsum attention, f32 softmax, -1e9 mask bias."""
+    """(B, L, H, D) einsum attention, f32 softmax, -1e9 mask bias.
+
+    causal with lq < lk is END-ALIGNED (query row i is global position
+    lk-lq+i): the prefix-sharing prefill contract."""
     _, lq, _, _ = q.shape
     lk = k.shape[1]
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
     logits = logits * sm_scale
     mask = jnp.ones((lq, lk), bool)
     if causal:
-        mask = jnp.tril(jnp.ones((lq, lk), bool))
+        mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
     mask = mask[None, :, :]
     if kv_valid is not None:
         mask = mask & kv_valid.astype(bool)[:, None, :]
@@ -97,27 +100,47 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
                           impl: str = "auto") -> jax.Array:
     """Multi-head attention over (B, L, H, D) tensors.
 
-    kv_valid: optional (B, L) 0/1 validity of key positions (right
+    kv_valid: optional (B, Lk) 0/1 validity of key positions (right
     padding). GQA callers repeat k/v heads beforehand.
+
+    Rectangular causal (lq < lk) is END-ALIGNED: query row i is global
+    position lk-lq+i, so it sees the whole leading lk-lq "prefix" plus
+    keys 0..i of its own span — the prefix-sharing prefill contract
+    (the query rows are a suffix whose KV is concatenated after a
+    shared prefix KV). On the flash path this is realized by
+    front-padding q with lk-lq dummy rows (outputs sliced off): the
+    shipped kernel only supports square causal, and the waste is
+    attention-FLOPs only — the point of prefix sharing is skipping the
+    *dense* layers for the prefix, which dominate at these lengths.
+
     impl: "auto" (flash on TPU when tileable), "flash", "einsum".
     """
     b, l, h, d = q.shape
+    lk = k.shape[1]
+    if causal and lk < l:
+        raise ValueError(f"causal attention needs lk >= lq ({lk} < {l})")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
     use_flash = impl == "flash"
     if impl == "auto":
         use_flash = (jax.default_backend() == "tpu"
-                     and k.shape[1] == l)
+                     and (lk == l or causal))
     if use_flash:
-        block_q = _pick_block(l)
-        block_k = _pick_block(l)
+        block_q = _pick_block(lk)
+        block_k = _pick_block(lk)
         if block_q is not None and block_k is not None:
+            if lk != l:
+                qp = jnp.pad(q, ((0, 0), (lk - l, 0), (0, 0), (0, 0)))
+                out = _flash_attention(
+                    qp, k, v, causal=causal, kv_valid=kv_valid,
+                    sm_scale=sm_scale, block_q=block_q, block_k=block_k)
+                return out[:, lk - l:]
             return _flash_attention(
                 q, k, v, causal=causal, kv_valid=kv_valid,
                 sm_scale=sm_scale, block_q=block_q, block_k=block_k)
         if impl == "flash":
             raise ValueError(
-                f"sequence length {l} not tileable for flash attention"
+                f"kv length {lk} not tileable for flash attention"
                 f" (needs a multiple of {_FLASH_MIN_BLOCK})")
     return _reference_attention(q, k, v, causal=causal,
                                 kv_valid=kv_valid, sm_scale=sm_scale)
