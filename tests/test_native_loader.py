@@ -1,0 +1,106 @@
+"""Native (C++) image pipeline vs the cv2/numpy reference path.
+
+The fused wd_decode_letterbox must reproduce cv2.imread +
+ops/letterbox.preprocess_image: arithmetic outputs (scale_factor,
+pad_param, ori_shape) exactly; pixels within small resampling
+tolerance (libjpeg IDCT and float-vs-fixed-point resize kernels each
+contribute ~±1 LSB).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REFERENCE_DIR
+
+cv2 = pytest.importorskip("cv2")
+
+from wedetect_tpu.native import (decode_jpeg, decode_letterbox,  # noqa: E402
+                                 get_lib)
+from wedetect_tpu.ops.letterbox import preprocess_image  # noqa: E402
+
+DEMO = os.path.join(REFERENCE_DIR, "assets", "demo.jpeg")
+
+pytestmark = pytest.mark.skipif(get_lib() is None,
+                                reason="native toolchain unavailable")
+
+
+def _jpeg_bytes(img, quality=92):
+    ok, buf = cv2.imencode(
+        ".jpg", cv2.cvtColor(img, cv2.COLOR_RGB2BGR),
+        [cv2.IMWRITE_JPEG_QUALITY, quality])
+    assert ok
+    return buf.tobytes()
+
+
+def _synthetic(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([
+        (xx * 255 / max(w - 1, 1)),
+        (yy * 255 / max(h - 1, 1)),
+        ((xx + yy) % 256),
+    ], -1).astype(np.uint8)
+    noise = rng.integers(0, 32, img.shape, np.int32)
+    return np.clip(img.astype(np.int32) + noise, 0, 255).astype(np.uint8)
+
+
+def test_decode_matches_cv2():
+    data = (open(DEMO, "rb").read() if os.path.isfile(DEMO)
+            else _jpeg_bytes(_synthetic(480, 640)))
+    got = decode_jpeg(data)
+    assert got is not None
+    want = cv2.cvtColor(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                     cv2.IMREAD_COLOR),
+                        cv2.COLOR_BGR2RGB)
+    assert got.shape == want.shape
+    diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+    # same codec family; IDCT implementations differ by ~±1
+    assert np.mean(diff) < 1.0
+    assert np.quantile(diff, 0.999) <= 2
+
+
+@pytest.mark.parametrize("shape,scale", [
+    ((480, 640), (640, 640)),     # upscale (keep-ratio stage)
+    ((720, 1280), (640, 640)),    # downscale (area stage)
+    ((300, 500), (320, 320)),     # mixed, rounding-heavy
+    ((640, 640), (640, 640)),     # identity
+])
+def test_letterbox_matches_reference_path(shape, scale):
+    img = _synthetic(*shape, seed=shape[0])
+    data = _jpeg_bytes(img)
+    got = decode_letterbox(data, scale)
+    assert got is not None
+    g_img, g_sf, g_pad, g_ori = got
+
+    decoded = cv2.cvtColor(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                        cv2.IMREAD_COLOR),
+                           cv2.COLOR_BGR2RGB)
+    w_img, w_sf, w_pad, w_ori = preprocess_image(decoded, scale)
+
+    assert g_ori == tuple(w_ori)
+    np.testing.assert_allclose(g_sf, w_sf, rtol=1e-6)
+    np.testing.assert_array_equal(g_pad, w_pad)
+    assert g_img.shape == w_img.shape
+    diff = np.abs(g_img.astype(np.int32) - w_img.astype(np.int32))
+    # decode delta (~±1) + resample kernel delta (float vs cv2
+    # fixed-point): demand close agreement in aggregate
+    assert np.mean(diff) < 1.5, np.mean(diff)
+    assert np.quantile(diff, 0.99) <= 3, np.quantile(diff, 0.99)
+
+
+def test_demo_jpeg_full_size():
+    if not os.path.isfile(DEMO):
+        pytest.skip("demo.jpeg not mounted")
+    data = open(DEMO, "rb").read()
+    got = decode_letterbox(data, (1280, 1280))
+    assert got is not None
+    g_img, g_sf, g_pad, g_ori = got
+    decoded = cv2.cvtColor(cv2.imread(DEMO), cv2.COLOR_BGR2RGB)
+    w_img, w_sf, w_pad, w_ori = preprocess_image(decoded, (1280, 1280))
+    assert g_ori == tuple(w_ori)
+    np.testing.assert_allclose(g_sf, w_sf, rtol=1e-6)
+    np.testing.assert_array_equal(g_pad, w_pad)
+    diff = np.abs(g_img.astype(np.int32) - w_img.astype(np.int32))
+    assert np.mean(diff) < 1.5, np.mean(diff)

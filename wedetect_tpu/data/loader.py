@@ -31,8 +31,20 @@ def load_image_rgb(path: str) -> np.ndarray:
 
 def eval_sample(ds: CocoDetDataset, idx: int, img_size) -> Dict:
     item = ds.items[idx]
-    img = load_image_rgb(item["path"])
-    padded, sf, pad, ori = preprocess_image(img, img_size)
+    path = item["path"]
+    result = None
+    if path.lower().endswith((".jpg", ".jpeg")):
+        # fused native decode+letterbox (C++, GIL-released); falls
+        # back below on any decode problem
+        from wedetect_tpu.native import decode_letterbox
+
+        with open(path, "rb") as f:
+            result = decode_letterbox(f.read(), img_size)
+    if result is not None:
+        padded, sf, pad, ori = result
+    else:
+        img = load_image_rgb(path)
+        padded, sf, pad, ori = preprocess_image(img, img_size)
     return {
         "image": padded, "scale_factor": sf, "pad_param": pad,
         "ori_shape": np.array(ori, np.float32),

@@ -20,16 +20,20 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
+_SOURCES = ("coco_match.cc", "image_pipeline.cc")
+
+
 def _build() -> Optional[str]:
-    src = os.path.join(_DIR, "coco_match.cc")
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     so = os.path.join(_DIR, "libwedetect_native.so")
     if (os.path.exists(so)
-            and os.path.getmtime(so) >= os.path.getmtime(src)):
+            and all(os.path.getmtime(so) >= os.path.getmtime(s)
+                    for s in srcs)):
         return so
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so, src],
+             "-o", so] + srcs + ["-ljpeg"],
             check=True, capture_output=True, timeout=120)
         return so
     except Exception:
@@ -56,6 +60,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.coco_match.restype = None
+            lib.wd_decode_letterbox.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int),
+            ]
+            lib.wd_decode_letterbox.restype = ctypes.c_int
+            lib.wd_jpeg_info.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.wd_jpeg_info.restype = ctypes.c_int
+            lib.wd_decode_jpeg.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint8)]
+            lib.wd_decode_jpeg.restype = ctypes.c_int
             _LIB = lib
         except OSError:
             _LIB = None
@@ -87,3 +109,58 @@ def coco_match(iou, gt_ig, crowd, thrs):
         dtm.ctypes.data_as(p(ctypes.c_int64)),
         gtm.ctypes.data_as(p(ctypes.c_int64)))
     return dtm, gtm
+
+
+def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114):
+    """Fused native JPEG decode + keep-ratio + letterbox.
+
+    scale: (th, tw). Returns (padded u8 HWC RGB, scale_factor (w, h)
+    f32, pad_param [t, b, l, r] f32, ori_shape (h, w)) — the
+    ops/letterbox.preprocess_image contract — or None when the native
+    library is unavailable or the bytes fail to decode (caller falls
+    back to the cv2 path). Releases the GIL: thread pools parallelize.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    th, tw = int(scale[0]), int(scale[1])
+    buf = np.frombuffer(jpeg_bytes, np.uint8)
+    out = np.empty((th, tw, 3), np.uint8)
+    sf = np.empty(2, np.float32)
+    pad = np.empty(4, np.float32)
+    ori = np.empty(2, np.int32)
+    p = ctypes.POINTER
+    rc = lib.wd_decode_letterbox(
+        buf.ctypes.data_as(p(ctypes.c_uint8)), len(jpeg_bytes),
+        th, tw, pad_val, out.ctypes.data_as(p(ctypes.c_uint8)),
+        sf.ctypes.data_as(p(ctypes.c_float)),
+        pad.ctypes.data_as(p(ctypes.c_float)),
+        ori.ctypes.data_as(p(ctypes.c_int)))
+    if rc != 0:
+        return None
+    return out, sf, pad, (int(ori[0]), int(ori[1]))
+
+
+def decode_jpeg(jpeg_bytes: bytes):
+    """Native JPEG decode to RGB u8 HWC, or None (fallback)."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = np.frombuffer(jpeg_bytes, np.uint8)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    p = ctypes.POINTER
+    if lib.wd_jpeg_info(buf.ctypes.data_as(p(ctypes.c_uint8)),
+                        len(jpeg_bytes), ctypes.byref(h),
+                        ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.wd_decode_jpeg(buf.ctypes.data_as(p(ctypes.c_uint8)),
+                          len(jpeg_bytes),
+                          out.ctypes.data_as(p(ctypes.c_uint8))):
+        return None
+    return out
