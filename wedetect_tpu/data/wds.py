@@ -117,14 +117,19 @@ class WdsDetDataset:
                     continue
 
     def _decode(self, raw: Dict[str, bytes]) -> Dict:
-        import cv2
-
         js = json.loads(raw["json"])
-        img = cv2.imdecode(np.frombuffer(raw["jpg"], np.uint8),
-                           cv2.IMREAD_COLOR)
+        # native decode first (C++, GIL-released); cv2 fallback
+        from wedetect_tpu.native import decode_jpeg
+
+        img = decode_jpeg(raw["jpg"])
         if img is None:
-            raise ValueError("bad image")
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            import cv2
+
+            img = cv2.imdecode(np.frombuffer(raw["jpg"], np.uint8),
+                               cv2.IMREAD_COLOR)
+            if img is None:
+                raise ValueError("bad image")
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
         class_texts = list(self.base_class_texts or [])
         text2cat = {}
