@@ -30,25 +30,32 @@ import jax
 import jax.numpy as jnp
 
 
-def _bilinear(feat: jax.Array, y: jax.Array, x: jax.Array) -> jax.Array:
-    """feat (H, W, C); y/x (...,) sample coords -> (..., C)."""
-    h, w, _ = feat.shape
-    oob = (y < -1.0) | (y > h) | (x < -1.0) | (x > w)
-    y = jnp.clip(y, 0.0, h - 1)
-    x = jnp.clip(x, 0.0, w - 1)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    ly = (y - y0).astype(feat.dtype)[..., None]
-    lx = (x - x0).astype(feat.dtype)[..., None]
-    v00 = feat[y0, x0]
-    v01 = feat[y0, x1]
-    v10 = feat[y1, x0]
-    v11 = feat[y1, x1]
-    out = ((1 - ly) * (1 - lx) * v00 + (1 - ly) * lx * v01
-           + ly * (1 - lx) * v10 + ly * lx * v11)
-    return jnp.where(oob[..., None], 0.0, out)
+def _axis_weights(lo: jax.Array, bsize: jax.Array, g: jax.Array,
+                  s: int, size: int, out_size: int) -> jax.Array:
+    """Per-axis interpolation weights (N, out_size, size).
+
+    Row (n, i) holds, for every source index along this axis, the
+    total bilinear+averaging weight of output bin i of roi n: the sum
+    over the bin's sample positions of (sample weight 1/g masked at
+    j >= g) x (2-tap linear weight), with torch's drop semantics
+    (weight 0 outside [-1, size]) and edge clamping."""
+    j = jnp.arange(s, dtype=jnp.float32)
+    off = (j[None, :] + 0.5) / g[:, None]                # (N, s)
+    wj = jnp.where(j[None, :] < g[:, None], 1.0 / g[:, None], 0.0)
+    bins = jnp.arange(out_size, dtype=jnp.float32)
+    pos = (lo[:, None, None]
+           + bsize[:, None, None] * (bins[None, :, None]
+                                     + off[:, None, :]))  # (N, out, s)
+    oob = (pos < -1.0) | (pos > size)
+    p = jnp.clip(pos, 0.0, size - 1)
+    p0 = jnp.floor(p).astype(jnp.int32)
+    p1 = jnp.minimum(p0 + 1, size - 1)
+    lp = (p - p0).astype(jnp.float32)
+    w = jnp.where(oob, 0.0, wj[:, None, :])              # (N, out, s)
+    grid = jnp.arange(size, dtype=jnp.int32)
+    oh0 = (p0[..., None] == grid) * ((1.0 - lp) * w)[..., None]
+    oh1 = (p1[..., None] == grid) * (lp * w)[..., None]
+    return (oh0 + oh1).sum(axis=2)                       # (N, out, size)
 
 
 def roi_align(feat: jax.Array, rois: jax.Array, out_size: int = 7,
@@ -60,7 +67,15 @@ def roi_align(feat: jax.Array, rois: jax.Array, out_size: int = 7,
 
     sampling_ratio <= 0 selects torch's adaptive per-roi grid (see
     module docstring); max_ratio bounds the static sample budget.
-    """
+
+    TPU-native formulation: bilinear sampling + bin averaging is
+    SEPARABLE per axis, so the whole op is two MXU contractions with
+    small per-axis weight matrices (N, out, H) / (N, out, W) instead
+    of N*out^2*ratio^2*4 row gathers — the gather version moved ~5 GB
+    of feature rows per 100-proposal Ref step; this moves ~30 GFLOP
+    through the MXU. The coupled OOB drop (sample zeroed when EITHER
+    coordinate is out of range) factorizes exactly: the weight product
+    is zero when either factor is zero."""
     s = sampling_ratio if sampling_ratio > 0 else max_ratio
     rois = rois.astype(jnp.float32) * spatial_scale
     x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
@@ -77,25 +92,12 @@ def roi_align(feat: jax.Array, rois: jax.Array, out_size: int = 7,
         gy = jnp.clip(jnp.ceil(rh / out_size), 1.0, s)
         gx = jnp.clip(jnp.ceil(rw / out_size), 1.0, s)
 
-    j = jnp.arange(s, dtype=jnp.float32)
-    off_y = (j[None, :] + 0.5) / gy[:, None]          # (N, s) bin units
-    off_x = (j[None, :] + 0.5) / gx[:, None]
-    wy = jnp.where(j[None, :] < gy[:, None], 1.0 / gy[:, None], 0.0)
-    wx = jnp.where(j[None, :] < gx[:, None], 1.0 / gx[:, None], 0.0)
-    bins = jnp.arange(out_size, dtype=jnp.float32)
-    # (N, out, s) absolute sample coords
-    ys = (y1[:, None, None]
-          + bh[:, None, None] * (bins[None, :, None] + off_y[:, None, :]))
-    xs = (x1[:, None, None]
-          + bw[:, None, None] * (bins[None, :, None] + off_x[:, None, :]))
-
-    def one(ys, xs, wy, wx):
-        o = out_size
-        yy = jnp.broadcast_to(ys.reshape(o, s, 1, 1), (o, s, o, s))
-        xx = jnp.broadcast_to(xs.reshape(1, 1, o, s), (o, s, o, s))
-        v = _bilinear(feat, yy.reshape(-1), xx.reshape(-1))
-        v = v.reshape(o, s, o, s, -1)
-        return jnp.einsum("isjtc,s,t->ijc", v,
-                          wy.astype(v.dtype), wx.astype(v.dtype))
-
-    return jax.vmap(one)(ys, xs, wy, wx)
+    h, w, _ = feat.shape
+    wy = _axis_weights(y1, bh, gy, s, h, out_size)       # (N, out, H)
+    wx = _axis_weights(x1, bw, gx, s, w, out_size)       # (N, out, W)
+    tmp = jnp.einsum("nih,hwc->niwc", wy,
+                     feat.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    out = jnp.einsum("njw,niwc->nijc", wx, tmp,
+                     preferred_element_type=jnp.float32)
+    return out.astype(feat.dtype)
