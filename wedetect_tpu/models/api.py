@@ -124,8 +124,18 @@ class Detector:
         pre = (yolov5_letterbox if self.preproc == "yolov5"
                else preprocess_image)
         for im in images:
-            arr = load_image_rgb(im) if isinstance(im, str) else im
-            padded, sf, pad, ori = pre(arr, cfg.img_size)
+            result = None
+            if (self.preproc != "yolov5" and isinstance(im, str)
+                    and im.lower().endswith((".jpg", ".jpeg"))):
+                # fused native decode+letterbox (cv2 fallback below)
+                from wedetect_tpu.native import decode_letterbox
+
+                with open(im, "rb") as f:
+                    result = decode_letterbox(f.read(), cfg.img_size)
+            if result is None:
+                arr = load_image_rgb(im) if isinstance(im, str) else im
+                result = pre(arr, cfg.img_size)
+            padded, sf, pad, ori = result
             arrs.append(padded)
             sfs.append(sf)
             pads.append(pad)
