@@ -2,23 +2,31 @@
 
 Must run before the first `import jax` anywhere in the test session so
 the platform flags take effect.
+
+Set WEDETECT_TPU_TESTS=1 to keep the real TPU backend instead — only
+the on-chip tests (tests/test_tpu_kernels.py) want that; everything
+else is written for the virtual CPU mesh.
 """
 
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+ON_TPU = os.environ.get("WEDETECT_TPU_TESTS") == "1"
+
+if not ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The container's sitecustomize imports jax (registering the TPU "axon"
 # backend) before conftest runs, so the env var alone is too late —
 # override via the config API as well.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

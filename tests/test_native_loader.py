@@ -104,3 +104,42 @@ def test_demo_jpeg_full_size():
     np.testing.assert_array_equal(g_pad, w_pad)
     diff = np.abs(g_img.astype(np.int32) - w_img.astype(np.int32))
     assert np.mean(diff) < 1.5, np.mean(diff)
+
+
+def test_exif_orientation_matches_cv2(tmp_path):
+    """cv2.imread applies the EXIF Orientation tag; the native decoder
+    must match (phone photos are routinely tagged 3/6/8)."""
+    from PIL import Image
+
+    base = _synthetic(120, 200, seed=7)
+    for orient in (1, 2, 3, 4, 5, 6, 7, 8):
+        f = tmp_path / f"o{orient}.jpg"
+        ex = Image.Exif()
+        ex[274] = orient
+        Image.fromarray(base).save(str(f), format="JPEG", quality=95,
+                                   exif=ex)
+        want = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+        got = decode_jpeg(f.read_bytes())
+        assert got is not None
+        assert got.shape == want.shape, (orient, got.shape, want.shape)
+        diff = np.abs(got.astype(np.int32) - want.astype(np.int32))
+        assert np.mean(diff) < 1.0, (orient, np.mean(diff))
+        # the fused letterbox path re-orients too (ori = upright dims)
+        r = decode_letterbox(f.read_bytes(), (64, 64))
+        assert r is not None and r[3] == want.shape[:2], orient
+
+
+def test_half_integer_letterbox_rounding():
+    """Stage-2 sizes at exact .5 must round ties-to-even like Python
+    round(): a 41x61 image letterboxed to (640, 480) hits nh=322.5."""
+    img = _synthetic(41, 61, seed=3)
+    data = _jpeg_bytes(img, quality=98)
+    got = decode_letterbox(data, (640, 480))
+    assert got is not None
+    decoded = cv2.cvtColor(cv2.imdecode(np.frombuffer(data, np.uint8),
+                                        cv2.IMREAD_COLOR),
+                           cv2.COLOR_BGR2RGB)
+    w_img, w_sf, w_pad, w_ori = preprocess_image(decoded, (640, 480))
+    np.testing.assert_allclose(got[1], w_sf, rtol=1e-6)
+    np.testing.assert_array_equal(got[2], w_pad)
+    assert got[3] == tuple(w_ori)

@@ -1,0 +1,61 @@
+"""On-chip kernel agreement tests (real TPU only).
+
+Run with:  WEDETECT_TPU_TESTS=1 python -m pytest tests/test_tpu_kernels.py
+
+Skipped in the normal (CPU-forced) suite: the flash path only exists
+on TPU, and these pin flash-vs-einsum agreement on hardware —
+including the rectangular end-aligned causal used by the
+prefix-sharing prefill. Padded query rows are EXCLUDED from the
+comparison: the two impls intentionally differ there (segment-id
+isolation vs key masking) and every caller discards them.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from wedetect_tpu.ops.attention import dot_product_attention
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="real-TPU-only kernel tests (WEDETECT_TPU_TESTS=1)")
+
+
+def _qkv(rng, b, lq, lk, h, d):
+    q = jnp.asarray(rng.standard_normal((b, lq, h, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, lk, h, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, lk, h, d)).astype(np.float32))
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_einsum_square(causal):
+    rng = np.random.default_rng(0)
+    q, k, v = _qkv(rng, 2, 256, 256, 4, 128)
+    valid = np.ones((2, 256), np.int32)
+    valid[1, -19:] = 0
+    vj = jnp.asarray(valid)
+    e = np.asarray(dot_product_attention(q, k, v, causal=causal,
+                                         kv_valid=vj, impl="einsum"))
+    f = np.asarray(dot_product_attention(q, k, v, causal=causal,
+                                         kv_valid=vj, impl="flash"))
+    m = valid.astype(bool)
+    assert np.abs(e - f)[m].max() < 2e-4
+
+
+def test_flash_matches_einsum_rectangular_causal():
+    rng = np.random.default_rng(1)
+    p, s = 384, 256
+    q, k, v = _qkv(rng, 2, s, p + s, 4, 128)
+    valid = np.ones((2, p + s), np.int32)
+    valid[0, p - 30:p] = 0        # prefix padding
+    valid[1, -17:] = 0            # suffix padding
+    vj = jnp.asarray(valid)
+    e = np.asarray(dot_product_attention(q, k, v, causal=True,
+                                         kv_valid=vj, impl="einsum"))
+    f = np.asarray(dot_product_attention(q, k, v, causal=True,
+                                         kv_valid=vj, impl="flash"))
+    m = valid[:, p:].astype(bool)
+    assert np.abs(e - f)[m].max() < 2e-4

@@ -267,12 +267,10 @@ class RefModules(nn.Module):
         sequences (tests/test_prefix_prefill.py pins this).
         """
         c = self.cfg
-        d = c.text.hidden
         img_tokens, obj, taps = self._vision_and_objects(
             patches, boxes_xyxy, ori_wh)
 
         xp = self.embed(prefix_ids)                  # (1, P, D)
-        v = img_tokens.shape[0]
         xp = jax.lax.dynamic_update_slice_in_dim(
             xp, img_tokens[None].astype(xp.dtype), visual_start, axis=1)
 

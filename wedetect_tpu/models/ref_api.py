@@ -138,10 +138,32 @@ class RefScorer:
                 ((0, 0), (0, l - len(s))))
             for s in seqs], axis=1)                  # (3, Q, L)
 
-        out = np.zeros((len(seqs), n_pad), np.float32)
+        out = self._dispatch_batches(
+            len(seqs), n_pad, ids, mask, pos, obj_pos,
+            lambda idsb, maskb, posb, objb: ref_score_step(
+                c, gh, gw, self.params, jnp.asarray(patches),
+                jnp.asarray(idsb), jnp.asarray(maskb),
+                jnp.asarray(posb), visual_start,
+                jnp.asarray(proposals),
+                jnp.asarray(np.array([w, h], np.float32)),
+                jnp.asarray(objb), self._jnp_dtype(), self.attn_impl))
+        return 1.0 / (1.0 + np.exp(-out[:, :n]))
+
+    def _jnp_dtype(self):
+        import jax.numpy as jnp
+
+        return {"float32": jnp.float32,
+                "bfloat16": jnp.bfloat16}[self.dtype]
+
+    def _dispatch_batches(self, nq, n_pad, ids, mask, pos, obj_pos,
+                          step_fn):
+        """Run step_fn over query_batch-sized row groups; the final
+        partial group is padded by replicating its first row (padded
+        rows are sliced off the output)."""
+        out = np.zeros((nq, n_pad), np.float32)
         bsz = self.query_batch
-        for st in range(0, len(seqs), bsz):
-            en = min(st + bsz, len(seqs))
+        for st in range(0, nq, bsz):
+            en = min(st + bsz, nq)
             pad_rows = bsz - (en - st)
             sl = slice(st, en)
             idsb = np.concatenate([ids[sl]] + [ids[st:st + 1]] * pad_rows)
@@ -152,18 +174,9 @@ class RefScorer:
                                   axis=1)
             objb = np.concatenate([obj_pos[sl]]
                                   + [obj_pos[st:st + 1]] * pad_rows)
-            logits = ref_score_step(
-                c, gh, gw, self.params, jnp.asarray(patches),
-                jnp.asarray(idsb), jnp.asarray(maskb),
-                jnp.asarray(posb), visual_start,
-                jnp.asarray(proposals),
-                jnp.asarray(np.array([w, h], np.float32)),
-                jnp.asarray(objb),
-                {"float32": jnp.float32,
-                 "bfloat16": jnp.bfloat16}[self.dtype],
-                self.attn_impl)
-            out[sl] = np.asarray(logits)[:en - st]
-        return 1.0 / (1.0 + np.exp(-out[:, :n]))
+            out[sl] = np.asarray(step_fn(idsb, maskb, posb,
+                                         objb))[:en - st]
+        return out
 
     def _score_split(self, patches, gh, gw, proposals, n, n_pad,
                      n_img, queries, w, h, pad_token_id):
@@ -187,50 +200,40 @@ class RefScorer:
         visual_start = int(
             np.nonzero(prefix == c.image_token_id)[0][0])
 
+        # MRoPE positions: the prefix block is shared, and every
+        # suffix token is text-like, so row positions are the prefix
+        # positions followed by a plain arange continuation — computed
+        # once instead of re-scanning the image span per query
+        pos_full = get_rope_index_single_image(
+            prefix, c.image_token_id, gh, gw, c.vision.merge)
+        pos_prefix = np.zeros((3, 1, p_pad), np.int32)
+        pos_prefix[:, 0, :p_real] = pos_full
+        mh, mw = gh // c.vision.merge, gw // c.vision.merge
+        next_pos = int(visual_start + max(mh, mw) + (p_real
+                                                     - visual_start
+                                                     - mh * mw))
+
         nq = len(sufs)
         suffix_ids = np.full((nq, s_pad), pad_token_id, np.int32)
         suffix_mask = np.zeros((nq, s_pad), np.int32)
-        pos_suffix = np.zeros((3, nq, s_pad), np.int32)
         obj_pos = np.zeros((nq, n_pad), np.int32)
-        pos_prefix = None
         for i, suf in enumerate(sufs):
             suffix_ids[i, :len(suf)] = suf
             suffix_mask[i, :len(suf)] = 1
-            full = np.concatenate([prefix, suf])
-            pos = get_rope_index_single_image(
-                full, c.image_token_id, gh, gw, c.vision.merge)
-            if pos_prefix is None:
-                pos_prefix = np.zeros((3, 1, p_pad), np.int32)
-                pos_prefix[:, 0, :p_real] = pos[:, :p_real]
-            pos_suffix[:, i, :len(suf)] = pos[:, p_real:]
             obj_pos[i] = np.nonzero(
                 suf == c.object_token_id)[0][:n_pad]
+        pos_suffix = np.broadcast_to(
+            (next_pos + np.arange(s_pad, dtype=np.int32))[None, None],
+            (3, nq, s_pad)).copy()
 
-        out = np.zeros((nq, n_pad), np.float32)
-        bsz = self.query_batch
-        for st in range(0, nq, bsz):
-            en = min(st + bsz, nq)
-            pad_rows = bsz - (en - st)
-            sl = slice(st, en)
-            idsb = np.concatenate(
-                [suffix_ids[sl]] + [suffix_ids[st:st + 1]] * pad_rows)
-            maskb = np.concatenate(
-                [suffix_mask[sl]] + [suffix_mask[st:st + 1]] * pad_rows)
-            posb = np.concatenate(
-                [pos_suffix[:, sl]]
-                + [pos_suffix[:, st:st + 1]] * pad_rows, axis=1)
-            objb = np.concatenate(
-                [obj_pos[sl]] + [obj_pos[st:st + 1]] * pad_rows)
-            logits = ref_score_step_split(
+        out = self._dispatch_batches(
+            nq, n_pad, suffix_ids, suffix_mask, pos_suffix, obj_pos,
+            lambda idsb, maskb, posb, objb: ref_score_step_split(
                 c, gh, gw, self.params, jnp.asarray(patches),
                 jnp.asarray(prefix_ids), jnp.asarray(idsb),
                 jnp.asarray(prefix_mask), jnp.asarray(maskb),
                 jnp.asarray(pos_prefix), jnp.asarray(posb),
                 jnp.asarray(proposals), visual_start,
                 jnp.asarray(np.array([w, h], np.float32)),
-                jnp.asarray(objb),
-                {"float32": jnp.float32,
-                 "bfloat16": jnp.bfloat16}[self.dtype],
-                self.attn_impl)
-            out[sl] = np.asarray(logits)[:en - st]
+                jnp.asarray(objb), self._jnp_dtype(), self.attn_impl))
         return 1.0 / (1.0 + np.exp(-out[:, :n]))

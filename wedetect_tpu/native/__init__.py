@@ -30,11 +30,18 @@ def _build() -> Optional[str]:
             and all(os.path.getmtime(so) >= os.path.getmtime(s)
                     for s in srcs)):
         return so
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so]
     try:
-        subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", so] + srcs + ["-ljpeg"],
-            check=True, capture_output=True, timeout=120)
+        subprocess.run(base + srcs + ["-ljpeg"],
+                       check=True, capture_output=True, timeout=120)
+        return so
+    except Exception:
+        pass
+    # no libjpeg dev files: keep the dependency-free kernels working
+    # (image functions then report unavailable and callers fall back)
+    try:
+        subprocess.run(base + [srcs[0]],
+                       check=True, capture_output=True, timeout=120)
         return so
     except Exception:
         return None
@@ -51,6 +58,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(so)
+        except OSError:
+            _LIB = None
+            return _LIB
+        try:
             lib.coco_match.argtypes = [
                 ctypes.POINTER(ctypes.c_double), ctypes.c_int,
                 ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
@@ -60,6 +71,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.coco_match.restype = None
+        except AttributeError:
+            pass  # stale .so without this symbol: skip it
+        try:
             lib.wd_decode_letterbox.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -78,9 +92,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint8)]
             lib.wd_decode_jpeg.restype = ctypes.c_int
-            _LIB = lib
-        except OSError:
-            _LIB = None
+        except AttributeError:
+            pass  # built without libjpeg (or stale .so): no image fns
+        _LIB = lib
         return _LIB
 
 
@@ -90,7 +104,7 @@ def coco_match(iou, gt_ig, crowd, thrs):
     import numpy as np
 
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "coco_match"):
         return None
     nd, ng = iou.shape
     nt = len(thrs)
@@ -123,7 +137,7 @@ def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114):
     import numpy as np
 
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "wd_decode_letterbox"):
         return None
     th, tw = int(scale[0]), int(scale[1])
     buf = np.frombuffer(jpeg_bytes, np.uint8)
@@ -148,7 +162,7 @@ def decode_jpeg(jpeg_bytes: bytes):
     import numpy as np
 
     lib = get_lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "wd_jpeg_info"):
         return None
     buf = np.frombuffer(jpeg_bytes, np.uint8)
     h = ctypes.c_int()

@@ -40,6 +40,92 @@ void jerr_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// EXIF orientation (1-8) from the JPEG APP1 segment; 1 when absent
+// or unparseable. cv2.imread applies this tag, so the native decoder
+// must too — otherwise phone photos come out rotated.
+int exif_orientation(const uint8_t* buf, size_t len) {
+  if (len < 4 || buf[0] != 0xFF || buf[1] != 0xD8) return 1;
+  size_t i = 2;
+  while (i + 4 <= len) {
+    if (buf[i] != 0xFF) return 1;
+    uint8_t m = buf[i + 1];
+    if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
+      i += 2;
+      continue;
+    }
+    if (m == 0xDA) return 1;  // start of scan: no APP1 seen
+    size_t seglen = (size_t(buf[i + 2]) << 8) | buf[i + 3];
+    if (seglen < 2 || i + 2 + seglen > len) return 1;
+    if (m == 0xE1 && seglen >= 16
+        && !std::memcmp(buf + i + 4, "Exif\0\0", 6)) {
+      const uint8_t* t = buf + i + 10;  // TIFF header
+      size_t tlen = seglen - 8;
+      bool le;
+      if (t[0] == 'I' && t[1] == 'I') le = true;
+      else if (t[0] == 'M' && t[1] == 'M') le = false;
+      else return 1;
+      auto rd16 = [&](size_t o) -> uint32_t {
+        return le ? (t[o] | (uint32_t(t[o + 1]) << 8))
+                  : ((uint32_t(t[o]) << 8) | t[o + 1]);
+      };
+      auto rd32 = [&](size_t o) -> uint32_t {
+        return le ? (t[o] | (uint32_t(t[o + 1]) << 8)
+                     | (uint32_t(t[o + 2]) << 16)
+                     | (uint32_t(t[o + 3]) << 24))
+                  : ((uint32_t(t[o]) << 24) | (uint32_t(t[o + 1]) << 16)
+                     | (uint32_t(t[o + 2]) << 8) | t[o + 3]);
+      };
+      if (tlen < 8) return 1;
+      uint32_t ifd = rd32(4);
+      if (ifd + 2 > tlen) return 1;
+      uint32_t n = rd16(ifd);
+      for (uint32_t e = 0; e < n; ++e) {
+        size_t off = ifd + 2 + size_t(e) * 12;
+        if (off + 12 > tlen) return 1;
+        if (rd16(off) == 0x0112) {
+          uint32_t v = rd16(off + 8);
+          return (v >= 1 && v <= 8) ? int(v) : 1;
+        }
+      }
+      return 1;
+    }
+    i += 2 + seglen;
+  }
+  return 1;
+}
+
+// Re-orient an RGB buffer upright (same convention as cv2.imread:
+// orientation 6 -> rotate 90 CW, 8 -> 90 CCW, 3 -> 180, 2/4/5/7
+// mirrored variants).
+void apply_orientation(std::vector<uint8_t>* img, int* h, int* w,
+                       int orient) {
+  if (orient <= 1) return;
+  int H = *h, W = *w;
+  bool swap = orient >= 5;
+  int oh = swap ? W : H, ow = swap ? H : W;
+  std::vector<uint8_t> dst(size_t(oh) * ow * 3);
+  const uint8_t* s = img->data();
+  for (int y = 0; y < oh; ++y) {
+    uint8_t* d = dst.data() + size_t(y) * ow * 3;
+    for (int x = 0; x < ow; ++x) {
+      int sy, sx;
+      switch (orient) {
+        case 2: sy = y; sx = W - 1 - x; break;          // mirror H
+        case 3: sy = H - 1 - y; sx = W - 1 - x; break;  // 180
+        case 4: sy = H - 1 - y; sx = x; break;          // mirror V
+        case 5: sy = x; sx = y; break;                  // transpose
+        case 6: sy = H - 1 - x; sx = y; break;          // 90 CW
+        case 7: sy = H - 1 - x; sx = W - 1 - y; break;  // transverse
+        default: sy = x; sx = W - 1 - y; break;         // 8: 90 CCW
+      }
+      std::memcpy(d + size_t(x) * 3, s + (size_t(sy) * W + sx) * 3, 3);
+    }
+  }
+  img->swap(dst);
+  *h = oh;
+  *w = ow;
+}
+
 // Decode JPEG bytes to RGB; returns 0 on success.
 int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
                 int* h, int* w) {
@@ -65,6 +151,7 @@ int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
+  apply_orientation(out, h, w, exif_orientation(buf, len));
   return 0;
 }
 
@@ -234,7 +321,9 @@ int wd_decode_letterbox(const uint8_t* buf, size_t len, int th, int tw,
 
   // stage 2: letterbox (allow_scale_up=False), rounded sizes, bilinear
   double r2 = std::min(std::min(double(th) / rh, double(tw) / rw), 1.0);
-  int nh = int(std::lround(rh * r2)), nw = int(std::lround(rw * r2));
+  // nearbyint: ties-to-even like Python round() (lround would give
+  // half-away and shift the letterbox by 1 px at exact .5 sizes)
+  int nh = int(std::nearbyint(rh * r2)), nw = int(std::nearbyint(rw * r2));
   std::vector<uint8_t> stage2;
   if (nh != rh || nw != rw) {
     stage2.resize(size_t(nh) * nw * 3);
@@ -277,6 +366,7 @@ int wd_jpeg_info(const uint8_t* buf, size_t len, int* h, int* w) {
   *h = cinfo.image_height;
   *w = cinfo.image_width;
   jpeg_destroy_decompress(&cinfo);
+  if (exif_orientation(buf, len) >= 5) std::swap(*h, *w);
   return 0;
 }
 

@@ -117,7 +117,12 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
     """
     b, l, h, d = q.shape
     lk = k.shape[1]
-    if causal and lk < l:
+    if lk != l and not causal:
+        if impl == "flash":
+            raise ValueError(
+                "rectangular attention is only defined for causal=True"
+                f" (end-aligned); got lq={l}, lk={lk}, causal=False")
+    elif causal and lk < l:
         raise ValueError(f"causal attention needs lk >= lq ({lk} < {l})")
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(d)
