@@ -142,3 +142,69 @@ def test_split_prefill_matches_joint(tiny_cfg):
         jnp.asarray(obj_suffix))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_two_stage_matches_one_shot(tiny_cfg):
+    """ref_prefix_step + ref_suffix_step (image-level caching) equals
+    the one-shot ref_score_step_split."""
+    from wedetect_tpu.models.ref import ref_prefix_step, ref_suffix_step
+
+    c = tiny_cfg
+    rng = np.random.default_rng(2)
+    gh = gw = 8
+    n_img = (gh // 2) * (gw // 2)
+    n_obj = 2
+    ow, oh = 96.0, 64.0
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[4, 4, 60, 40], [10, 8, 90, 60]], np.float32)
+    prefix_real = np.concatenate([
+        np.array([1, 2, 122]), np.full(n_img, 120), np.array([7])])
+    p_real = len(prefix_real)
+    p_pad = 24
+    prefix_ids = np.zeros((1, p_pad), np.int32)
+    prefix_ids[0, :p_real] = prefix_real
+    prefix_mask = np.zeros((1, p_pad), np.int32)
+    prefix_mask[0, :p_real] = 1
+    pos_prefix = np.zeros((3, 1, p_pad), np.int32)
+    pos_prefix[:, 0, :p_real] = get_rope_index_single_image(
+        prefix_real, 120, gh, gw, 2)
+
+    b, s_pad = 3, 8
+    sufs = [np.concatenate([np.array([9, 8]), np.full(n_obj, 123),
+                            np.array([2])]),
+            np.concatenate([np.array([11, 4, 6]), np.full(n_obj, 123),
+                            np.array([2])]),
+            np.concatenate([np.full(n_obj, 123), np.array([2])])]
+    suffix_ids = np.zeros((b, s_pad), np.int32)
+    suffix_mask = np.zeros((b, s_pad), np.int32)
+    obj_suffix = np.zeros((b, n_obj), np.int32)
+    for i, suf in enumerate(sufs):
+        suffix_ids[i, :len(suf)] = suf
+        suffix_mask[i, :len(suf)] = 1
+        obj_suffix[i] = np.nonzero(suf == 123)[0]
+    next_pos = int(pos_prefix[0, 0, p_real - 1]) + 1
+    pos_suffix = np.broadcast_to(
+        (next_pos + np.arange(s_pad, dtype=np.int32))[None, None],
+        (3, b, s_pad)).copy()
+
+    variables = RefModules(tiny_cfg, gh, gw).init(
+        jax.random.PRNGKey(3), patches,
+        np.zeros((1, 32), np.int32), np.ones((1, 32), np.int32),
+        np.zeros((3, 1, 32), np.int32), boxes,
+        np.array([ow, oh], np.float32), 3, np.zeros((1, 2), np.int32))
+    params = variables["params"]
+    args = (jnp.asarray(patches), jnp.asarray(prefix_ids),
+            jnp.asarray(suffix_ids), jnp.asarray(prefix_mask),
+            jnp.asarray(suffix_mask), jnp.asarray(pos_prefix),
+            jnp.asarray(pos_suffix), jnp.asarray(boxes), 3,
+            jnp.asarray(np.array([ow, oh], np.float32)),
+            jnp.asarray(obj_suffix))
+    want = ref_score_step_split(c, gh, gw, params, *args)
+    obj, kvs = ref_prefix_step(c, gh, gw, params, args[0], args[1],
+                               args[3], args[5], args[7], args[9],
+                               args[8])
+    got = ref_suffix_step(c, gh, gw, params, obj, kvs, args[2],
+                          args[4], args[6], args[3], args[10])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)

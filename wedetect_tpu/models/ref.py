@@ -291,6 +291,42 @@ class RefModules(nn.Module):
         logits = self.extras.score(hidden)           # (B, S)
         return jnp.take_along_axis(logits, pos, axis=1)
 
+    def prefix_stage(self, patches, prefix_ids, prefix_mask,
+                     prefix_position_ids, boxes_xyxy, ori_wh,
+                     visual_start: int):
+        """Image-level half of the split prefill: vision tower +
+        object features + the prefix decoder pass. Returns
+        (obj (N, D), kvs tuple) — cacheable per image so many suffix
+        batches (e.g. 80 COCO-OVD queries) reuse ONE prefix compute."""
+        img_tokens, obj, taps = self._vision_and_objects(
+            patches, boxes_xyxy, ori_wh)
+        xp = self.embed(prefix_ids)                  # (1, P, D)
+        xp = jax.lax.dynamic_update_slice_in_dim(
+            xp, img_tokens[None].astype(xp.dtype), visual_start, axis=1)
+        kvs = self.text.prefix_pass(
+            xp, prefix_position_ids, prefix_mask,
+            deepstack_embeds=list(taps), visual_start=visual_start)
+        return obj, kvs
+
+    def suffix_stage(self, obj, kvs, suffix_ids, suffix_mask,
+                     suffix_position_ids, prefix_mask,
+                     object_positions):
+        """Per-query-batch half: embed suffixes, scatter the cached
+        object features, decode against the cached prefix KV, score."""
+        xs = self.embed(suffix_ids)                  # (B, S, D)
+        b = xs.shape[0]
+        bidx = jnp.arange(b)[:, None]
+        pos = jnp.clip(object_positions, 0)
+        cur = xs[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(xs.dtype),
+                                          (b,) + obj.shape), cur)
+        xs = xs.at[bidx, pos].set(newv)
+        hidden = self.text.suffix_pass(kvs, xs, suffix_position_ids,
+                                       prefix_mask, suffix_mask)
+        logits = self.extras.score(hidden)           # (B, S)
+        return jnp.take_along_axis(logits, pos, axis=1)
+
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 8, 12, 13))
 def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
@@ -304,6 +340,38 @@ def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 10, 11, 12))
+def ref_prefix_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                    patches, prefix_ids, prefix_mask,
+                    prefix_position_ids, boxes_xyxy, ori_wh,
+                    visual_start: int, dtype=jnp.float32,
+                    attn_impl: str = "auto"):
+    """Jitted image-level stage: returns (obj, kvs) device values for
+    ref_suffix_step — compute once per image, reuse across query
+    batches."""
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype,
+                     attn_impl=attn_impl)
+    return mod.apply(
+        {"params": params}, patches, prefix_ids, prefix_mask,
+        prefix_position_ids, boxes_xyxy, ori_wh, visual_start,
+        method="prefix_stage")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 11, 12))
+def ref_suffix_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                    obj, kvs, suffix_ids, suffix_mask,
+                    suffix_position_ids, prefix_mask,
+                    object_positions, dtype=jnp.float32,
+                    attn_impl: str = "auto"):
+    """Jitted per-query-batch stage against cached (obj, kvs)."""
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype,
+                     attn_impl=attn_impl)
+    return mod.apply(
+        {"params": params}, obj, kvs, suffix_ids, suffix_mask,
+        suffix_position_ids, prefix_mask, object_positions,
+        method="suffix_stage")
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 12, 15, 16))

@@ -180,10 +180,14 @@ class RefScorer:
 
     def _score_split(self, patches, gh, gw, proposals, n, n_pad,
                      n_img, queries, w, h, pad_token_id):
-        """Prefix-sharing scoring path (ref_score_step_split)."""
+        """Prefix-sharing scoring path: ONE jitted image-level stage
+        (vision + objects + prefix decoder pass) whose device outputs
+        feed every query batch's suffix stage — with many queries per
+        image (e.g. 80 on COCO-OVD) the image work is not repeated."""
         import jax.numpy as jnp
 
-        from wedetect_tpu.models.ref import ref_score_step_split
+        from wedetect_tpu.models.ref import (ref_prefix_step,
+                                             ref_suffix_step)
 
         c = self.cfg
         prefix = self.build_prefix(n_img)
@@ -226,14 +230,17 @@ class RefScorer:
             (next_pos + np.arange(s_pad, dtype=np.int32))[None, None],
             (3, nq, s_pad)).copy()
 
+        pmask = jnp.asarray(prefix_mask)
+        obj, kvs = ref_prefix_step(
+            c, gh, gw, self.params, jnp.asarray(patches),
+            jnp.asarray(prefix_ids), pmask, jnp.asarray(pos_prefix),
+            jnp.asarray(proposals),
+            jnp.asarray(np.array([w, h], np.float32)), visual_start,
+            self._jnp_dtype(), self.attn_impl)
         out = self._dispatch_batches(
             nq, n_pad, suffix_ids, suffix_mask, pos_suffix, obj_pos,
-            lambda idsb, maskb, posb, objb: ref_score_step_split(
-                c, gh, gw, self.params, jnp.asarray(patches),
-                jnp.asarray(prefix_ids), jnp.asarray(idsb),
-                jnp.asarray(prefix_mask), jnp.asarray(maskb),
-                jnp.asarray(pos_prefix), jnp.asarray(posb),
-                jnp.asarray(proposals), visual_start,
-                jnp.asarray(np.array([w, h], np.float32)),
+            lambda idsb, maskb, posb, objb: ref_suffix_step(
+                c, gh, gw, self.params, obj, kvs, jnp.asarray(idsb),
+                jnp.asarray(maskb), jnp.asarray(posb), pmask,
                 jnp.asarray(objb), self._jnp_dtype(), self.attn_impl))
         return 1.0 / (1.0 + np.exp(-out[:, :n]))

@@ -459,6 +459,44 @@ class TextModel(nn.Module):
                     visual_start)
         return self.norm(x)
 
+    def prefix_pass(self, prefix_embeds, prefix_position_ids,
+                    prefix_mask,
+                    deepstack_embeds: Optional[
+                        Sequence[jax.Array]] = None,
+                    visual_start: int = 0):
+        """Run the (1, P, D) shared prefix through every layer and
+        return the per-layer post-rope KV (tuple of (k, v), each
+        (1, P, kv_heads, head_dim)) for suffix_pass."""
+        cos_p, sin_p = interleaved_mrope_cos_sin(prefix_position_ids,
+                                                 self.cfg)
+        pvalid = prefix_mask.astype(jnp.int32)
+        x = prefix_embeds.astype(self.dtype)
+        kvs = []
+        for i, layer in enumerate(self._layers):
+            x, kv = layer(x, cos_p, sin_p, pvalid, return_kv=True)
+            kvs.append(kv)
+            if deepstack_embeds is not None and i < len(deepstack_embeds):
+                x = self._inject_deepstack(
+                    x, deepstack_embeds[i].astype(self.dtype),
+                    visual_start)
+        return tuple(kvs)
+
+    def suffix_pass(self, kvs, suffix_embeds, suffix_position_ids,
+                    prefix_mask, suffix_mask):
+        """Batched (B, S, D) suffix rows attending to the shared
+        prefix KV from prefix_pass. Returns normed hidden states."""
+        b = suffix_embeds.shape[0]
+        cos_s, sin_s = interleaved_mrope_cos_sin(suffix_position_ids,
+                                                 self.cfg)
+        pvalid = prefix_mask.astype(jnp.int32)
+        full_valid = jnp.concatenate(
+            [jnp.broadcast_to(pvalid, (b, pvalid.shape[1])),
+             suffix_mask.astype(jnp.int32)], axis=1)
+        y = suffix_embeds.astype(self.dtype)
+        for i, layer in enumerate(self._layers):
+            y = layer(y, cos_s, sin_s, full_valid, prefix_kv=kvs[i])
+        return self.norm(y)
+
     def prefill_split(self, prefix_embeds, suffix_embeds,
                       prefix_position_ids, suffix_position_ids,
                       prefix_mask, suffix_mask,
@@ -479,27 +517,13 @@ class TextModel(nn.Module):
         injections applied after layer i-1 — exactly as in the joint
         pass. Returns the normed (B, S, D) suffix hidden states.
         """
-        c = self.cfg
-        b = suffix_embeds.shape[0]
-        cos_p, sin_p = interleaved_mrope_cos_sin(prefix_position_ids, c)
-        cos_s, sin_s = interleaved_mrope_cos_sin(suffix_position_ids, c)
-        pvalid = prefix_mask.astype(jnp.int32)           # (1, P)
-        x = prefix_embeds.astype(self.dtype)
-        kvs = []
-        for i, layer in enumerate(self._layers):
-            x, kv = layer(x, cos_p, sin_p, pvalid, return_kv=True)
-            kvs.append(kv)
-            if deepstack_embeds is not None and i < len(deepstack_embeds):
-                x = self._inject_deepstack(
-                    x, deepstack_embeds[i].astype(self.dtype),
-                    visual_start)
-        full_valid = jnp.concatenate(
-            [jnp.broadcast_to(pvalid, (b, pvalid.shape[1])),
-             suffix_mask.astype(jnp.int32)], axis=1)     # (B, P+S)
-        y = suffix_embeds.astype(self.dtype)
-        for i, layer in enumerate(self._layers):
-            y = layer(y, cos_s, sin_s, full_valid, prefix_kv=kvs[i])
-        return self.norm(y)
+        kvs = self.prefix_pass(prefix_embeds, prefix_position_ids,
+                               prefix_mask,
+                               deepstack_embeds=deepstack_embeds,
+                               visual_start=visual_start)
+        return self.suffix_pass(kvs, suffix_embeds,
+                                suffix_position_ids, prefix_mask,
+                                suffix_mask)
 
 
 class Embedder(nn.Module):
