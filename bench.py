@@ -248,12 +248,9 @@ def main():
             sub["ref2b_vs_baseline"] = round(qps / 6.6, 3)
         except Exception as e:
             print(f"# ref split bench failed: {e!r}", file=sys.stderr)
-        try:
-            # joint prefill at the L=2048 bucket: flash-at-length row
-            qps = bench_ref()
-            sub["ref2b_joint_queries_per_s_l2048"] = round(qps, 2)
-        except Exception as e:
-            print(f"# ref bench failed: {e!r}", file=sys.stderr)
+        # (the joint L=2048 flash row — 18.4 q/s — is documented in
+        # PERF.md; it is omitted here to keep the driver bench's
+        # compile count bounded. Run bench_ref() directly to remeasure.)
         try:
             qps4 = bench_ref(variant="4b", iters=3, split=True)
             sub["ref4b_queries_per_s"] = round(qps4, 2)
