@@ -231,7 +231,7 @@ def main():
     sub = {}
     if on_tpu and not quick:
         try:
-            large = bench_detect("large", 80, (4,), 5)
+            large = bench_detect("large", 80, (8,), 5)
             sub["wedetect_large_1280_img_per_s"] = round(large, 2)
             sub["large_vs_baseline"] = round(large / 6.0, 3)
         except Exception as e:
