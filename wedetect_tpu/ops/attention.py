@@ -128,8 +128,14 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         sm_scale = 1.0 / math.sqrt(d)
     use_flash = impl == "flash"
     if impl == "auto":
-        use_flash = (jax.default_backend() == "tpu"
-                     and (lk == l or causal))
+        # honor jax.default_device(cpu) overrides: the kernel only
+        # lowers on TPU even when the TPU backend is the default
+        dd = getattr(jax.config, "jax_default_device", None)
+        on_tpu = (jax.default_backend() == "tpu"
+                  and (dd is None
+                       or getattr(dd, "platform", "tpu")
+                       in ("tpu", "axon")))
+        use_flash = on_tpu and (lk == l or causal)
     if use_flash:
         block_q = _pick_block(lk)
         block_k = _pick_block(lk)
