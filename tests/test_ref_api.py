@@ -103,3 +103,30 @@ def test_prefix_sharing_matches_joint(tiny, monkeypatch):
     split = RefScorer(prefix_sharing=True, **common).score(
         img, props, queries, pad_token_id=0)
     np.testing.assert_allclose(split, joint, rtol=1e-5, atol=1e-6)
+
+
+def test_score_rec_matches_per_image(tiny, monkeypatch):
+    """Cross-image REC batching equals per-image scoring."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(int(img.sum()) % 1000)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       query_batch=2, max_proposals=3,
+                       grid_buckets=((32, 32),))
+    rng = np.random.default_rng(5)
+    samples = []
+    for i in range(3):   # 3 images -> one full + one padded chunk
+        img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+        props = rng.uniform(0, 60, (2 + i % 2, 4)).astype(np.float32)
+        props[:, 2:] += props[:, :2]
+        samples.append((img, props, f"object {i}"))
+    got = scorer.score_rec(samples, pad_token_id=0)
+    for (img, props, q), g in zip(samples, got):
+        want = scorer.score(img, props, [q], pad_token_id=0)[0]
+        np.testing.assert_allclose(g, want, rtol=2e-4, atol=1e-6)

@@ -312,15 +312,22 @@ class RefModules(nn.Module):
                      suffix_position_ids, prefix_mask,
                      object_positions):
         """Per-query-batch half: embed suffixes, scatter the cached
-        object features, decode against the cached prefix KV, score."""
+        object features, decode against the cached prefix KV, score.
+
+        obj: (N, D) shared across rows (many queries, one image) or
+        (B, N, D) per-row (cross-image REC batching — each row is a
+        different image, so kvs/prefix_mask then carry a leading B
+        too).
+        """
         xs = self.embed(suffix_ids)                  # (B, S, D)
         b = xs.shape[0]
         bidx = jnp.arange(b)[:, None]
         pos = jnp.clip(object_positions, 0)
         cur = xs[bidx, pos]
+        objb = (obj[None] if obj.ndim == 2 else obj).astype(xs.dtype)
         newv = jnp.where((object_positions >= 0)[..., None],
-                         jnp.broadcast_to(obj[None].astype(xs.dtype),
-                                          (b,) + obj.shape), cur)
+                         jnp.broadcast_to(objb,
+                                          (b,) + objb.shape[1:]), cur)
         xs = xs.at[bidx, pos].set(newv)
         hidden = self.text.suffix_pass(kvs, xs, suffix_position_ids,
                                        prefix_mask, suffix_mask)
@@ -368,6 +375,47 @@ def ref_suffix_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
     """Jitted per-query-batch stage against cached (obj, kvs)."""
     mod = RefModules(cfg, grid_h, grid_w, dtype=dtype,
                      attn_impl=attn_impl)
+    return mod.apply(
+        {"params": params}, obj, kvs, suffix_ids, suffix_mask,
+        suffix_position_ids, prefix_mask, object_positions,
+        method="suffix_stage")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 10, 11, 12))
+def ref_rec_batch_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                       patches, prefix_ids, prefix_mask,
+                       prefix_position_ids, boxes_xyxy, ori_wh,
+                       visual_start: int, dtype=jnp.float32,
+                       attn_impl: str = "auto", suffix_ids=None,
+                       suffix_mask=None, suffix_position_ids=None,
+                       object_positions=None):
+    """Cross-image REC batching: B images (same grid bucket), ONE
+    query row per image, one fused step.
+
+    patches (B, S_patch, Dp); prefix_ids/prefix_mask (B, P) — the
+    token layout is identical per image but kept per-row for
+    generality; boxes (B, N, 4); ori_wh (B, 2); suffix_* (B, S).
+    The vision towers + prefix passes run vmapped over images, then
+    one suffix pass where row i attends image i's KV. Returns (B, N).
+
+    This is the refcoco-style workload (the reference's 6.6 FPS is
+    one query per forward on exactly this protocol); the many-query
+    path (ref_prefix_step + ref_suffix_step) covers OVD/HumanRef.
+    """
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype,
+                     attn_impl=attn_impl)
+
+    def one_prefix(patches_i, pids_i, pmask_i, ppos_i, boxes_i, ori_i):
+        return mod.apply(
+            {"params": params}, patches_i, pids_i, pmask_i, ppos_i,
+            boxes_i, ori_i, visual_start, method="prefix_stage")
+
+    obj, kvs = jax.vmap(one_prefix)(
+        patches, prefix_ids[:, None], prefix_mask[:, None],
+        prefix_position_ids, boxes_xyxy, ori_wh)
+    # vmapped prefix outputs carry (B, 1, ...) from the inner
+    # singleton row; squeeze to per-row (B, P, kv_heads, head_dim)
+    kvs = jax.tree.map(lambda t: t[:, 0], kvs)
     return mod.apply(
         {"params": params}, obj, kvs, suffix_ids, suffix_mask,
         suffix_position_ids, prefix_mask, object_positions,

@@ -244,3 +244,108 @@ class RefScorer:
                 jnp.asarray(maskb), jnp.asarray(posb), pmask,
                 jnp.asarray(objb), self._jnp_dtype(), self.attn_impl))
         return 1.0 / (1.0 + np.exp(-out[:, :n]))
+
+    def score_rec(self, samples, pad_token_id: int = 151643):
+        """Cross-image REC scoring: `samples` is a list of
+        (image HWC u8, proposals (Ni, 4), query str) — ONE query per
+        image, the refcoco protocol. Images snapped to the same grid
+        bucket are batched into fused steps (vision towers + prefix
+        passes vmapped, one suffix pass with per-image KV). Returns a
+        list of (Ni,) sigmoid score arrays in input order.
+
+        Requires grid_buckets (images must share a compile-time grid
+        to batch); otherwise falls back to per-image score().
+        """
+        import jax.numpy as jnp
+
+        from wedetect_tpu.data.vision_process import image_to_patches
+        from wedetect_tpu.models.ref import ref_rec_batch_step
+
+        if not self.prefix_sharing or not self.grid_buckets:
+            return [self.score(im, pr, [q], pad_token_id)[0]
+                    for im, pr, q in samples]
+
+        c = self.cfg
+        n_pad = self.max_proposals
+        prepped = []
+        for idx, (image, proposals, query) in enumerate(samples):
+            h, w = image.shape[:2]
+            pr = np.array(proposals, np.float32, copy=True)[:n_pad]
+            pr[:, 0::2] = np.clip(pr[:, 0::2], 0, w)
+            pr[:, 1::2] = np.clip(pr[:, 1::2], 0, h)
+            n = len(pr)
+            if n < n_pad:
+                pr = np.concatenate(
+                    [pr, np.tile(pr[-1:] if n else
+                                 np.array([[0, 0, 1, 1]], np.float32),
+                                 (n_pad - n, 1))])
+            patches, gh, gw = image_to_patches(
+                image, patch=c.vision.patch,
+                temporal_patch=c.vision.temporal_patch,
+                merge=c.vision.merge, grid_buckets=self.grid_buckets)
+            prepped.append(dict(idx=idx, patches=patches, gh=gh, gw=gw,
+                                pr=pr, n=n, wh=(w, h), query=query))
+
+        out = [None] * len(samples)
+        groups = {}
+        for s in prepped:
+            groups.setdefault((s["gh"], s["gw"]), []).append(s)
+        for (gh, gw), grp in groups.items():
+            n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
+            prefix = self.build_prefix(n_img)
+            p_real = len(prefix)
+            p_pad = -(-p_real // 128) * 128
+            prefix_row = np.full(p_pad, pad_token_id, np.int32)
+            prefix_row[:p_real] = prefix
+            pmask_row = np.zeros(p_pad, np.int32)
+            pmask_row[:p_real] = 1
+            visual_start = int(
+                np.nonzero(prefix == c.image_token_id)[0][0])
+            pos_full = get_rope_index_single_image(
+                prefix, c.image_token_id, gh, gw, c.vision.merge)
+            ppos_row = np.zeros((3, 1, p_pad), np.int32)
+            ppos_row[:, 0, :p_real] = pos_full
+            mh, mw = gh // c.vision.merge, gw // c.vision.merge
+            next_pos = int(visual_start + max(mh, mw)
+                           + (p_real - visual_start - mh * mw))
+
+            sufs = [self.build_suffix(s["query"], n_pad) for s in grp]
+            s_pad = pad_to_bucket(max(len(x) for x in sufs),
+                                  self.suffix_buckets)
+            bsz = self.query_batch
+            for st in range(0, len(grp), bsz):
+                chunk = grp[st:st + bsz]
+                csufs = sufs[st:st + bsz]
+                while len(chunk) < bsz:     # pad group by repetition
+                    chunk = chunk + [chunk[-1]]
+                    csufs = csufs + [csufs[-1]]
+                b = len(chunk)
+                sids = np.full((b, s_pad), pad_token_id, np.int32)
+                smask = np.zeros((b, s_pad), np.int32)
+                objp = np.zeros((b, n_pad), np.int32)
+                for i, suf in enumerate(csufs):
+                    sids[i, :len(suf)] = suf
+                    smask[i, :len(suf)] = 1
+                    objp[i] = np.nonzero(
+                        suf == c.object_token_id)[0][:n_pad]
+                spos = np.broadcast_to(
+                    (next_pos + np.arange(s_pad, dtype=np.int32)
+                     )[None, None], (3, b, s_pad)).copy()
+                logits = ref_rec_batch_step(
+                    c, gh, gw, self.params,
+                    jnp.asarray(np.stack([s["patches"]
+                                          for s in chunk])),
+                    jnp.asarray(np.tile(prefix_row, (b, 1))),
+                    jnp.asarray(np.tile(pmask_row, (b, 1))),
+                    jnp.asarray(np.tile(ppos_row, (b, 1, 1, 1))),
+                    jnp.asarray(np.stack([s["pr"] for s in chunk])),
+                    jnp.asarray(np.array([s["wh"] for s in chunk],
+                                         np.float32)),
+                    visual_start, self._jnp_dtype(), self.attn_impl,
+                    jnp.asarray(sids), jnp.asarray(smask),
+                    jnp.asarray(spos), jnp.asarray(objp))
+                logits = np.asarray(logits)
+                for i, s in enumerate(grp[st:st + bsz]):
+                    out[s["idx"]] = 1.0 / (1.0 + np.exp(
+                        -logits[i, :s["n"]]))
+        return out
