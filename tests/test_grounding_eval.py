@@ -371,3 +371,63 @@ def test_batched_nms_label_offsets():
                                  np.array([0, 0]), 0.5)) == 1
     assert len(batched_nms_numpy(boxes, scores,
                                  np.array([0, 1]), 0.5)) == 2
+
+
+def test_score_items_rec_batch_branch(tmp_path):
+    """score_items uses score_rec for single-query shards with a
+    bucketed scorer, and the per-item path otherwise — identical
+    results either way."""
+    import cv2
+
+    from wedetect_tpu.cli.eval_grounding import score_items
+
+    root = tmp_path
+    rng = np.random.default_rng(0)
+    items = []
+    for i in range(3):
+        name = f"im{i}.jpg"
+        cv2.imwrite(str(root / name),
+                    rng.integers(0, 255, (40, 50, 3), np.uint8))
+        items.append({"id": i, "dataset": "refcoco", "image": name,
+                      "img_root": str(root), "queries": [f"thing {i}"],
+                      "query_labels": [0],
+                      "proposals": [[1, 1, 20, 20], [5, 5, 40, 30]]})
+
+    class StubScorer:
+        prefix_sharing = True
+        grid_buckets = ((32, 32),)
+        query_batch = 2
+        calls = []
+
+        def _scores(self, img, props, q):
+            r = np.random.default_rng(len(q) + int(img.sum()) % 97)
+            return r.uniform(0.01, 0.99, len(props))
+
+        def score(self, img, props, queries, pad_token_id=0):
+            self.calls.append("score")
+            return np.stack([self._scores(img, props, q)
+                             for q in queries])
+
+        def score_rec(self, samples, pad_token_id=0):
+            self.calls.append("score_rec")
+            return [self._scores(im, pr, q) for im, pr, q in samples]
+
+    class A:
+        num_proposals = 100
+        single_box = True
+        nms = False
+        score_thre = -1.0
+        num_select = 5
+
+    s = StubScorer()
+    batched = score_items(items, s, {}, A())
+    assert "score_rec" in s.calls and "score" not in s.calls
+
+    s2 = StubScorer()
+    s2.grid_buckets = None        # disables the rec-batch branch
+    s2.calls = []
+    per_item = score_items(items, s2, {}, A())
+    assert "score" in s2.calls
+    for a, b in zip(batched, per_item):
+        np.testing.assert_allclose(a["boxes"], b["boxes"])
+        np.testing.assert_allclose(a["scores"], b["scores"])

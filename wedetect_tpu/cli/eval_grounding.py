@@ -57,11 +57,16 @@ def parse_args(argv=None):
     p.add_argument("--single_box", action="store_true")
     p.add_argument("--max-items", type=int, default=0)
     p.add_argument("--batch-queries", type=int, default=8)
+    p.add_argument("--grid-tokens", type=int, default=0,
+                   help="snap images to fixed ~N-token grid buckets "
+                        "(bounds jit recompiles; enables cross-image "
+                        "REC batching on single-query datasets)")
     p.add_argument("--out", default="")
     return p.parse_args(argv)
 
 
-def load_scorer(ckpt_dir: str, batch_queries: int):
+def load_scorer(ckpt_dir: str, batch_queries: int,
+                grid_tokens: int = 0):
     import dataclasses
     import glob
 
@@ -85,8 +90,14 @@ def load_scorer(ckpt_dir: str, batch_queries: int):
             for k in sf.keys():
                 sd[k] = sf.get_tensor(k)
     params = convert_ref_model(sd, cfg)
+    buckets = None
+    if grid_tokens:
+        from wedetect_tpu.data.vision_process import make_grid_buckets
+
+        buckets = tuple(make_grid_buckets(
+            grid_tokens, cfg.vision.patch * cfg.vision.merge))
     return RefScorer(cfg=cfg, params=params, tokenizer=tok,
-                     query_batch=batch_queries)
+                     query_batch=batch_queries, grid_buckets=buckets)
 
 
 def build_items(args):
@@ -120,17 +131,45 @@ def item_proposals(item, proposals_map, num_proposals):
 
 
 def score_items(items, scorer, proposals_map, args):
-    """Score a shard of items; returns per-item prediction dicts."""
+    """Score a shard of items; returns per-item prediction dicts.
+
+    Single-query shards (refcoco-style REC) batch ACROSS images via
+    RefScorer.score_rec when the scorer has grid buckets — one fused
+    step per image chunk instead of two dispatches per item."""
     from wedetect_tpu.data.loader import load_image_rgb
     from wedetect_tpu.eval.merge import merge_predictions
 
+    rec_batch = (all(len(it["queries"]) == 1 for it in items)
+                 and getattr(scorer, "prefix_sharing", False)
+                 and getattr(scorer, "grid_buckets", None))
+    item_scores = {}
+    if rec_batch:
+        chunk = max(1, scorer.query_batch) * 4
+        for st in range(0, len(items), chunk):
+            part = items[st:st + chunk]
+            samples = []
+            for item in part:
+                props = item_proposals(item, proposals_map,
+                                       args.num_proposals)
+                img = load_image_rgb(os.path.join(item["img_root"],
+                                                  item["image"]))
+                samples.append((img, props, item["queries"][0]))
+            for item, sc, (_, props, _q) in zip(
+                    part, scorer.score_rec(samples), samples):
+                item_scores[id(item)] = (sc[None], props)
+            print(f"score {min(st + chunk, len(items))}/{len(items)}",
+                  flush=True)
+
     results = []
     for n, item in enumerate(items):
-        props = item_proposals(item, proposals_map,
-                               args.num_proposals)
-        img = load_image_rgb(os.path.join(item["img_root"],
-                                          item["image"]))
-        scores_qn = scorer.score(img, props, item["queries"])
+        if id(item) in item_scores:
+            scores_qn, props = item_scores[id(item)]
+        else:
+            props = item_proposals(item, proposals_map,
+                                   args.num_proposals)
+            img = load_image_rgb(os.path.join(item["img_root"],
+                                              item["image"]))
+            scores_qn = scorer.score(img, props, item["queries"])
         boxes, qidx, scores = merge_predictions(
             scores_qn, props, single_box=args.single_box,
             nms=args.nms, score_thre=args.score_thre,
@@ -247,7 +286,8 @@ def main(argv=None):
     items = build_items(args)
     proposals_map = (json.load(open(args.proposals))
                      if args.proposals else {})
-    scorer = load_scorer(args.ref_checkpoint, args.batch_queries)
+    scorer = load_scorer(args.ref_checkpoint, args.batch_queries,
+                         args.grid_tokens)
 
     shard = [items[i] for i in process_shard(len(items))]
     if args.max_items:
