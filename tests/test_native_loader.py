@@ -143,3 +143,25 @@ def test_half_integer_letterbox_rounding():
     np.testing.assert_allclose(got[1], w_sf, rtol=1e-6)
     np.testing.assert_array_equal(got[2], w_pad)
     assert got[3] == tuple(w_ori)
+
+
+def test_exif_with_fill_bytes(tmp_path):
+    """JPEG markers may be preceded by 0xFF fill bytes; the EXIF
+    scanner must skip them rather than bail (and crafted IFD offsets
+    must not crash — exercised via the same parser)."""
+    from PIL import Image
+
+    base = _synthetic(60, 90, seed=11)
+    f = tmp_path / "fill.jpg"
+    ex = Image.Exif()
+    ex[274] = 6
+    Image.fromarray(base).save(str(f), format="JPEG", quality=95,
+                               exif=ex)
+    data = bytearray(f.read_bytes())
+    # insert a fill byte before the APP1 (0xFF 0xE1) marker
+    idx = data.find(b"\xff\xe1")
+    assert idx > 0
+    data = bytes(data[:idx] + b"\xff" + data[idx:])
+    got = decode_jpeg(data)
+    want = cv2.cvtColor(cv2.imread(str(f)), cv2.COLOR_BGR2RGB)
+    assert got is not None and got.shape == want.shape  # rotated

@@ -144,21 +144,41 @@ def score_items(items, scorer, proposals_map, args):
                  and getattr(scorer, "grid_buckets", None))
     item_scores = {}
     if rec_batch:
+        # group the WHOLE shard by grid bucket before chunking —
+        # header-only size reads (no decode) — so each fused call is
+        # bucket-pure and batch padding happens once per bucket tail
+        # instead of once per 32-item window
+        from PIL import Image
+
+        from wedetect_tpu.data.vision_process import snap_to_bucket
+
+        by_bucket = {}
+        for item in items:
+            try:
+                with Image.open(os.path.join(
+                        item["img_root"], item["image"])) as im:
+                    w0, h0 = im.size
+                b = snap_to_bucket(h0, w0, scorer.grid_buckets)
+            except Exception:
+                b = None
+            by_bucket.setdefault(b, []).append(item)
         chunk = max(1, scorer.query_batch) * 4
-        for st in range(0, len(items), chunk):
-            part = items[st:st + chunk]
-            samples = []
-            for item in part:
-                props = item_proposals(item, proposals_map,
-                                       args.num_proposals)
-                img = load_image_rgb(os.path.join(item["img_root"],
-                                                  item["image"]))
-                samples.append((img, props, item["queries"][0]))
-            for item, sc, (_, props, _q) in zip(
-                    part, scorer.score_rec(samples), samples):
-                item_scores[id(item)] = (sc[None], props)
-            print(f"score {min(st + chunk, len(items))}/{len(items)}",
-                  flush=True)
+        done = 0
+        for grp_items in by_bucket.values():
+            for st in range(0, len(grp_items), chunk):
+                part = grp_items[st:st + chunk]
+                samples = []
+                for item in part:
+                    props = item_proposals(item, proposals_map,
+                                           args.num_proposals)
+                    img = load_image_rgb(os.path.join(
+                        item["img_root"], item["image"]))
+                    samples.append((img, props, item["queries"][0]))
+                for item, sc, (_, props, _q) in zip(
+                        part, scorer.score_rec(samples), samples):
+                    item_scores[id(item)] = (sc[None], props)
+                done += len(part)
+                print(f"score {done}/{len(items)}", flush=True)
 
     results = []
     for n, item in enumerate(items):

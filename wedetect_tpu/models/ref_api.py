@@ -93,21 +93,10 @@ class RefScorer:
 
         c = self.cfg
         h, w = image.shape[:2]
-        proposals = np.array(proposals, np.float32,
-                             copy=True)[:self.max_proposals]
-        proposals[:, 0::2] = np.clip(proposals[:, 0::2], 0, w)
-        proposals[:, 1::2] = np.clip(proposals[:, 1::2], 0, h)
-        n = len(proposals)
-        # pad the proposal axis to the static max so the (expensive)
-        # prefill graph does not recompile per proposal count; padded
-        # slots point at a dummy box and are sliced off the output
+        # static proposal count: the (expensive) prefill graph must
+        # not recompile per proposal count
+        proposals, n = self._prep_proposals(proposals, w, h)
         n_pad = self.max_proposals
-        if n < n_pad:
-            proposals = np.concatenate(
-                [proposals,
-                 np.tile(proposals[-1:] if n else
-                         np.array([[0, 0, 1, 1]], np.float32),
-                         (n_pad - n, 1))])
 
         patches, gh, gw = image_to_patches(
             image, patch=c.vision.patch,
@@ -155,6 +144,60 @@ class RefScorer:
         return {"float32": jnp.float32,
                 "bfloat16": jnp.bfloat16}[self.dtype]
 
+    def _prep_proposals(self, proposals, w, h):
+        """Clip to the image and pad the proposal axis to
+        max_proposals (padded slots point at a dummy box and are
+        sliced off the output). Returns (padded (n_pad, 4), n)."""
+        n_pad = self.max_proposals
+        pr = np.array(proposals, np.float32, copy=True)[:n_pad]
+        pr[:, 0::2] = np.clip(pr[:, 0::2], 0, w)
+        pr[:, 1::2] = np.clip(pr[:, 1::2], 0, h)
+        n = len(pr)
+        if n < n_pad:
+            pr = np.concatenate(
+                [pr, np.tile(pr[-1:] if n else
+                             np.array([[0, 0, 1, 1]], np.float32),
+                             (n_pad - n, 1))])
+        return pr, n
+
+    def _prefix_layout(self, gh, gw, pad_token_id):
+        """Shared-prefix layout for one grid: (ids (1, P), mask
+        (1, P), MRoPE positions (3, 1, P), visual_start, next_pos).
+        next_pos is the position of the first suffix token — every
+        suffix token is text-like, so row positions continue as a
+        plain arange from it."""
+        c = self.cfg
+        mh, mw = gh // c.vision.merge, gw // c.vision.merge
+        prefix = self.build_prefix(mh * mw)
+        p_real = len(prefix)
+        p_pad = -(-p_real // 128) * 128    # flash-tileable prefix
+        ids = np.full((1, p_pad), pad_token_id, np.int32)
+        ids[0, :p_real] = prefix
+        mask = np.zeros((1, p_pad), np.int32)
+        mask[0, :p_real] = 1
+        visual_start = int(
+            np.nonzero(prefix == c.image_token_id)[0][0])
+        pos = np.zeros((3, 1, p_pad), np.int32)
+        pos[:, 0, :p_real] = get_rope_index_single_image(
+            prefix, c.image_token_id, gh, gw, c.vision.merge)
+        next_pos = int(visual_start + max(mh, mw)
+                       + (p_real - visual_start - mh * mw))
+        return ids, mask, pos, visual_start, next_pos
+
+    def _pack_suffixes(self, sufs, s_pad, n_pad, pad_token_id):
+        """Right-pad suffix rows; returns (ids, mask, object
+        positions) with suffix-relative object indices."""
+        b = len(sufs)
+        ids = np.full((b, s_pad), pad_token_id, np.int32)
+        mask = np.zeros((b, s_pad), np.int32)
+        objp = np.zeros((b, n_pad), np.int32)
+        for i, suf in enumerate(sufs):
+            ids[i, :len(suf)] = suf
+            mask[i, :len(suf)] = 1
+            objp[i] = np.nonzero(
+                suf == self.cfg.object_token_id)[0][:n_pad]
+        return ids, mask, objp
+
     def _dispatch_batches(self, nq, n_pad, ids, mask, pos, obj_pos,
                           step_fn):
         """Run step_fn over query_batch-sized row groups; the final
@@ -190,42 +233,14 @@ class RefScorer:
                                              ref_suffix_step)
 
         c = self.cfg
-        prefix = self.build_prefix(n_img)
-        p_real = len(prefix)
-        p_pad = -(-p_real // 128) * 128       # flash-tileable prefix
         sufs = [self.build_suffix(q, n_pad) for q in queries]
         s_pad = pad_to_bucket(max(len(s) for s in sufs),
                               self.suffix_buckets)
-
-        prefix_ids = np.full((1, p_pad), pad_token_id, np.int32)
-        prefix_ids[0, :p_real] = prefix
-        prefix_mask = np.zeros((1, p_pad), np.int32)
-        prefix_mask[0, :p_real] = 1
-        visual_start = int(
-            np.nonzero(prefix == c.image_token_id)[0][0])
-
-        # MRoPE positions: the prefix block is shared, and every
-        # suffix token is text-like, so row positions are the prefix
-        # positions followed by a plain arange continuation — computed
-        # once instead of re-scanning the image span per query
-        pos_full = get_rope_index_single_image(
-            prefix, c.image_token_id, gh, gw, c.vision.merge)
-        pos_prefix = np.zeros((3, 1, p_pad), np.int32)
-        pos_prefix[:, 0, :p_real] = pos_full
-        mh, mw = gh // c.vision.merge, gw // c.vision.merge
-        next_pos = int(visual_start + max(mh, mw) + (p_real
-                                                     - visual_start
-                                                     - mh * mw))
-
+        (prefix_ids, prefix_mask, pos_prefix, visual_start,
+         next_pos) = self._prefix_layout(gh, gw, pad_token_id)
         nq = len(sufs)
-        suffix_ids = np.full((nq, s_pad), pad_token_id, np.int32)
-        suffix_mask = np.zeros((nq, s_pad), np.int32)
-        obj_pos = np.zeros((nq, n_pad), np.int32)
-        for i, suf in enumerate(sufs):
-            suffix_ids[i, :len(suf)] = suf
-            suffix_mask[i, :len(suf)] = 1
-            obj_pos[i] = np.nonzero(
-                suf == c.object_token_id)[0][:n_pad]
+        suffix_ids, suffix_mask, obj_pos = self._pack_suffixes(
+            sufs, s_pad, n_pad, pad_token_id)
         pos_suffix = np.broadcast_to(
             (next_pos + np.arange(s_pad, dtype=np.int32))[None, None],
             (3, nq, s_pad)).copy()
@@ -270,15 +285,7 @@ class RefScorer:
         prepped = []
         for idx, (image, proposals, query) in enumerate(samples):
             h, w = image.shape[:2]
-            pr = np.array(proposals, np.float32, copy=True)[:n_pad]
-            pr[:, 0::2] = np.clip(pr[:, 0::2], 0, w)
-            pr[:, 1::2] = np.clip(pr[:, 1::2], 0, h)
-            n = len(pr)
-            if n < n_pad:
-                pr = np.concatenate(
-                    [pr, np.tile(pr[-1:] if n else
-                                 np.array([[0, 0, 1, 1]], np.float32),
-                                 (n_pad - n, 1))])
+            pr, n = self._prep_proposals(proposals, w, h)
             patches, gh, gw = image_to_patches(
                 image, patch=c.vision.patch,
                 temporal_patch=c.vision.temporal_patch,
@@ -291,23 +298,10 @@ class RefScorer:
         for s in prepped:
             groups.setdefault((s["gh"], s["gw"]), []).append(s)
         for (gh, gw), grp in groups.items():
-            n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
-            prefix = self.build_prefix(n_img)
-            p_real = len(prefix)
-            p_pad = -(-p_real // 128) * 128
-            prefix_row = np.full(p_pad, pad_token_id, np.int32)
-            prefix_row[:p_real] = prefix
-            pmask_row = np.zeros(p_pad, np.int32)
-            pmask_row[:p_real] = 1
-            visual_start = int(
-                np.nonzero(prefix == c.image_token_id)[0][0])
-            pos_full = get_rope_index_single_image(
-                prefix, c.image_token_id, gh, gw, c.vision.merge)
-            ppos_row = np.zeros((3, 1, p_pad), np.int32)
-            ppos_row[:, 0, :p_real] = pos_full
-            mh, mw = gh // c.vision.merge, gw // c.vision.merge
-            next_pos = int(visual_start + max(mh, mw)
-                           + (p_real - visual_start - mh * mw))
+            (prefix_row_ids, pmask_row_ids, ppos_row, visual_start,
+             next_pos) = self._prefix_layout(gh, gw, pad_token_id)
+            prefix_row = prefix_row_ids[0]
+            pmask_row = pmask_row_ids[0]
 
             sufs = [self.build_suffix(s["query"], n_pad) for s in grp]
             s_pad = pad_to_bucket(max(len(x) for x in sufs),
@@ -320,14 +314,8 @@ class RefScorer:
                     chunk = chunk + [chunk[-1]]
                     csufs = csufs + [csufs[-1]]
                 b = len(chunk)
-                sids = np.full((b, s_pad), pad_token_id, np.int32)
-                smask = np.zeros((b, s_pad), np.int32)
-                objp = np.zeros((b, n_pad), np.int32)
-                for i, suf in enumerate(csufs):
-                    sids[i, :len(suf)] = suf
-                    smask[i, :len(suf)] = 1
-                    objp[i] = np.nonzero(
-                        suf == c.object_token_id)[0][:n_pad]
+                sids, smask, objp = self._pack_suffixes(
+                    csufs, s_pad, n_pad, pad_token_id)
                 spos = np.broadcast_to(
                     (next_pos + np.arange(s_pad, dtype=np.int32)
                      )[None, None], (3, b, s_pad)).copy()

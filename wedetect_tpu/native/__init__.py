@@ -26,22 +26,30 @@ _SOURCES = ("coco_match.cc", "image_pipeline.cc")
 def _build() -> Optional[str]:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     so = os.path.join(_DIR, "libwedetect_native.so")
-    if (os.path.exists(so)
-            and all(os.path.getmtime(so) >= os.path.getmtime(s)
-                    for s in srcs)):
+    marker = so + ".nojpeg"   # records a libjpeg-less fallback build
+    fresh = (os.path.exists(so)
+             and all(os.path.getmtime(so) >= os.path.getmtime(s)
+                     for s in srcs))
+    if fresh and not os.path.exists(marker):
         return so
     base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so]
     try:
         subprocess.run(base + srcs + ["-ljpeg"],
                        check=True, capture_output=True, timeout=120)
+        if os.path.exists(marker):   # libjpeg appeared: full build now
+            os.remove(marker)
         return so
     except Exception:
         pass
+    if fresh:
+        return so    # keep the cached fallback; retry full next time
     # no libjpeg dev files: keep the dependency-free kernels working
     # (image functions then report unavailable and callers fall back)
     try:
         subprocess.run(base + [srcs[0]],
                        check=True, capture_output=True, timeout=120)
+        with open(marker, "w"):
+            pass
         return so
     except Exception:
         return None

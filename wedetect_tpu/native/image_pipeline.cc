@@ -49,6 +49,10 @@ int exif_orientation(const uint8_t* buf, size_t len) {
   while (i + 4 <= len) {
     if (buf[i] != 0xFF) return 1;
     uint8_t m = buf[i + 1];
+    if (m == 0xFF) {  // legal fill byte before a marker
+      i += 1;
+      continue;
+    }
     if (m == 0xD8 || (m >= 0xD0 && m <= 0xD7) || m == 0x01) {
       i += 2;
       continue;
@@ -77,10 +81,11 @@ int exif_orientation(const uint8_t* buf, size_t len) {
       };
       if (tlen < 8) return 1;
       uint32_t ifd = rd32(4);
-      if (ifd + 2 > tlen) return 1;
+      // 64-bit compare: a crafted ifd near UINT32_MAX must not wrap
+      if (size_t(ifd) + 2 > tlen) return 1;
       uint32_t n = rd16(ifd);
       for (uint32_t e = 0; e < n; ++e) {
-        size_t off = ifd + 2 + size_t(e) * 12;
+        size_t off = size_t(ifd) + 2 + size_t(e) * 12;
         if (off + 12 > tlen) return 1;
         if (rd16(off) == 0x0112) {
           uint32_t v = rd16(off + 8);

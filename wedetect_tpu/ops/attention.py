@@ -128,13 +128,18 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         sm_scale = 1.0 / math.sqrt(d)
     use_flash = impl == "flash"
     if impl == "auto":
-        # honor jax.default_device(cpu) overrides: the kernel only
-        # lowers on TPU even when the TPU backend is the default
+        # honor jax.default_device overrides (Device objects OR
+        # platform-name strings): the kernel only lowers on TPU even
+        # when the TPU backend is the session default; when the
+        # override is unrecognizable, prefer the always-correct einsum
         dd = getattr(jax.config, "jax_default_device", None)
-        on_tpu = (jax.default_backend() == "tpu"
-                  and (dd is None
-                       or getattr(dd, "platform", "tpu")
-                       in ("tpu", "axon")))
+        if dd is None:
+            dd_on_tpu = True
+        else:
+            plat = dd if isinstance(dd, str) else getattr(
+                dd, "platform", None)
+            dd_on_tpu = plat in ("tpu", "axon")
+        on_tpu = jax.default_backend() == "tpu" and dd_on_tpu
         use_flash = on_tpu and (lk == l or causal)
     if use_flash:
         block_q = _pick_block(lk)
