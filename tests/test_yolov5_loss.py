@@ -303,3 +303,85 @@ def test_head_module_shapes_and_bias():
     boxes, scores = yolov5_decode(outs)
     assert boxes.shape == (2, 3 * (256 + 64 + 16), 4)
     assert scores.shape[-1] == 7
+
+
+def test_v5_obj_scatter_collision(ref_head_cls):
+    """Two gts assigned to the SAME (cell, prior) slots: our obj
+    scatter is max-wins where torch's vectorized assignment is
+    last-write-wins (PARITY.md note). Constructed so gt1's CIoU
+    dominates at EVERY colliding slot (preds decode to gt1's box):
+    ours must equal the torch ordering that writes gt1 last, and the
+    opposite ordering pins a nonzero delta.
+    """
+    b, k = 1, 3
+    img_h = img_w = 640
+    sizes = [(80, 80), (40, 40), (20, 20)]
+    strides = [8, 16, 32]
+    a = 3
+
+    center = 321.0      # same cell at every level for both gts
+    g1_wh, g2_wh = 64.0, 150.0
+
+    def box(wh):
+        return [center - wh / 2, center - wh / 2,
+                center + wh / 2, center + wh / 2]
+
+    boxes = np.asarray([[box(g1_wh), box(g2_wh)]], np.float32)
+    labels = np.asarray([[1, 2]])
+    mask = np.ones((1, 2), bool)
+
+    # preds: xy raw 0 (decodes to cell center-ish), wh raw solving
+    # (sigmoid(w)*2)^2 * prior == gt1_wh -> CIoU(pred, gt1) ~ 1 at
+    # every candidate, strictly above CIoU(pred, gt2).
+    preds = []
+    for (h, w), stride in zip(sizes, strides):
+        p = np.zeros((b, h, w, a, 5 + k), np.float32)
+        p[..., 4] = -5.0
+        for ai in range(a):
+            pw = DEFAULT_ANCHORS_LOCAL[strides.index(stride)][ai]
+            for ch, prior in ((2, pw[0]), (3, pw[1])):
+                s = math.sqrt(g1_wh / prior) / 2
+                if 0 < s < 1:
+                    p[..., ai, ch] = math.log(s / (1 - s))
+                else:
+                    p[..., ai, ch] = 10.0  # prior never matches gt1
+        preds.append(p)
+
+    def ref_obj(order):
+        head = _make_head(ref_head_cls, k)
+        rows = [[0, labels[0, gi], *boxes[0, gi]] for gi in order]
+        cls_l, box_l, obj_l = [], [], []
+        for p in preds:
+            pt = torch.from_numpy(np.transpose(p, (0, 3, 4, 1, 2)))
+            bs, _, _, h, w = pt.shape
+            cls_l.append(pt[:, :, 5:].reshape(bs, -1, h, w))
+            box_l.append(pt[:, :, :4].reshape(bs, -1, h, w))
+            obj_l.append(pt[:, :, 4:5].reshape(bs, -1, h, w))
+        out = head.loss_by_feat(
+            cls_l, box_l, obj_l,
+            torch.tensor(rows, dtype=torch.float32),
+            [{"batch_input_shape": (img_h, img_w)}] * b)
+        return float(out["loss_obj"])
+
+    got = yolov5_loss([jnp.asarray(p) for p in preds],
+                      jnp.asarray(boxes), jnp.asarray(labels),
+                      jnp.asarray(mask), (img_h, img_w),
+                      loss_scale=float(b))
+
+    obj_g1_last = ref_obj([1, 0])   # dominant gt written last == max
+    obj_g2_last = ref_obj([0, 1])
+    # the collision is real: orderings disagree in torch
+    assert abs(obj_g1_last - obj_g2_last) > 1e-7
+    # scatter-max == last-write when the max is written last
+    np.testing.assert_allclose(float(got.obj), obj_g1_last, rtol=2e-4)
+    # pinned divergence for the other ordering
+    delta = abs(float(got.obj) - obj_g2_last)
+    np.testing.assert_allclose(delta, abs(obj_g1_last - obj_g2_last),
+                               rtol=2e-4)
+
+
+DEFAULT_ANCHORS_LOCAL = (
+    ((10, 13), (16, 30), (33, 23)),
+    ((30, 61), (62, 45), (59, 119)),
+    ((116, 90), (156, 198), (373, 326)),
+)

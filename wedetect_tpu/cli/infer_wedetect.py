@@ -27,6 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer", default="xlm-roberta-base")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--font", default=None,
+                   help="TrueType font path for captions (CJK class "
+                        "names need one, e.g. simsun.ttc — reference "
+                        "infer_wedetect.py:124; common system CJK "
+                        "fonts are probed when omitted)")
     return p.parse_args(argv)
 
 
@@ -61,7 +66,8 @@ def main(argv=None):
     img = draw_detections(
         __import__("wedetect_tpu.data.loader", fromlist=["x"])
         .load_image_rgb(args.image),
-        r["bboxes"], r["scores"], r["labels"], class_names=texts)
+        r["bboxes"], r["scores"], r["labels"], class_names=texts,
+        font_path=args.font)
     img.save(args.output)
     print(f"saved {args.output}")
 

@@ -51,6 +51,28 @@ class RefScorer:
     prefix_sharing: bool = True
     suffix_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
 
+    def __post_init__(self):
+        # fail LOUDLY at construction on a mis-sized bucket: a kv
+        # length that the flash kernels cannot tile would silently
+        # drop every prefill to the O(L^2)-memory einsum path.
+        # Only enforced where flash is reachable (TPU backend or
+        # explicit impl) — CPU test configs use tiny exact buckets.
+        import jax
+
+        from wedetect_tpu.ops.attention import is_flash_tileable
+
+        if (self.attn_impl == "einsum"
+                or (self.attn_impl == "auto"
+                    and jax.default_backend() != "tpu")):
+            return
+        for name, buckets in (("seq_buckets", self.seq_buckets),
+                              ("suffix_buckets", self.suffix_buckets)):
+            bad = [b for b in buckets if not is_flash_tileable(b)]
+            if bad:
+                raise ValueError(
+                    f"{name} {bad} not tileable for flash attention "
+                    "(each bucket must be a multiple of 128)")
+
     def build_prefix(self, n_img: int) -> np.ndarray:
         """Shared token prefix: chat preamble + vision span."""
         c = self.cfg

@@ -23,6 +23,26 @@ _TRIED = False
 _SOURCES = ("coco_match.cc", "image_pipeline.cc")
 
 
+def _compile(srcs, out, extra) -> bool:
+    """g++ to a pid-suffixed temp path, then atomically rename into
+    place — a concurrent builder in another process (eval sharding
+    spawns several) can never leave a torn .so at `out`."""
+    tmp = f"{out}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+           "-o", tmp] + srcs + extra
+    try:
+        subprocess.run(cmd, check=True, capture_output=True,
+                       timeout=120)
+        os.rename(tmp, out)   # atomic on the same filesystem
+        return True
+    except Exception:
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+        return False
+
+
 def _build() -> Optional[str]:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
     so = os.path.join(_DIR, "libwedetect_native.so")
@@ -32,27 +52,35 @@ def _build() -> Optional[str]:
                      for s in srcs))
     if fresh and not os.path.exists(marker):
         return so
-    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", so]
+    # serialize builders across processes (threads already hold _LOCK)
+    lockf = open(so + ".lock", "w")
     try:
-        subprocess.run(base + srcs + ["-ljpeg"],
-                       check=True, capture_output=True, timeout=120)
-        if os.path.exists(marker):   # libjpeg appeared: full build now
-            os.remove(marker)
-        return so
-    except Exception:
-        pass
-    if fresh:
-        return so    # keep the cached fallback; retry full next time
-    # no libjpeg dev files: keep the dependency-free kernels working
-    # (image functions then report unavailable and callers fall back)
-    try:
-        subprocess.run(base + [srcs[0]],
-                       check=True, capture_output=True, timeout=120)
-        with open(marker, "w"):
-            pass
-        return so
-    except Exception:
+        try:
+            import fcntl
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+        except Exception:
+            pass   # no fcntl: atomic rename alone still prevents tears
+        # re-check under the lock: another process may have just built
+        fresh = (os.path.exists(so)
+                 and all(os.path.getmtime(so) >= os.path.getmtime(s)
+                         for s in srcs))
+        if fresh and not os.path.exists(marker):
+            return so
+        if _compile(srcs, so, ["-ljpeg"]):
+            if os.path.exists(marker):  # libjpeg appeared: full build
+                os.remove(marker)
+            return so
+        if fresh:
+            return so   # keep the cached fallback; retry full next time
+        # no libjpeg dev files: keep the dependency-free kernels
+        # working (image fns report unavailable; callers fall back)
+        if _compile([srcs[0]], so, []):
+            with open(marker, "w"):
+                pass
+            return so
         return None
+    finally:
+        lockf.close()
 
 
 def get_lib() -> Optional[ctypes.CDLL]:

@@ -299,7 +299,11 @@ def _batched_select_topk(scores: jax.Array, score_thr: float,
 
     Both resolve ties by flat (anchor-major, class-minor) index, the
     same order lax.top_k uses, so the selected set is identical
-    whichever branch runs.
+    whichever branch runs — up to ties exactly AT the k-th value
+    (the bisection survivor mask `bits > hi` drops all candidates
+    tied at the k-th value, selecting fewer than nms_pre, while the
+    sparse path fills slots by index preference; measure-zero for
+    real f32 scores, same freedom _topk_threshold documents).
     """
     from wedetect_tpu.ops.pallas_topk import row_topk
 
