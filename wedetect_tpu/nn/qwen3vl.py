@@ -37,7 +37,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from wedetect_tpu.ops.attention import dot_product_attention
+from wedetect_tpu.ops.attention import (dot_product_attention,
+                                        gqa_attention)
 
 Dtype = Any
 
@@ -391,10 +392,11 @@ class TextLayer(nn.Module):
                 [jnp.broadcast_to(pk, (b,) + pk.shape[1:]), k], axis=1)
             v = jnp.concatenate(
                 [jnp.broadcast_to(pv, (b,) + pv.shape[1:]), v], axis=1)
-        g = c.heads // c.kv_heads
-        k = jnp.repeat(k, g, axis=2)
-        v = jnp.repeat(v, g, axis=2)
-        o = dot_product_attention(
+        # grouped-KV dispatch: no jnp.repeat of KV heads — on TPU the
+        # native Pallas kernel reads KV once per group, and the
+        # rectangular prefix+suffix causal shape runs without dummy
+        # query rows (ops/flash_gqa.py)
+        o = gqa_attention(
             q, k, v, causal=True, kv_valid=kv_valid,
             sm_scale=1.0 / math.sqrt(c.head_dim), impl=self.attn_impl)
         o = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,

@@ -187,3 +187,52 @@ def dot_product_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
         _warn_flash_fallback(b, l, lk, h, d)
     return _reference_attention(q, k, v, causal=causal,
                                 kv_valid=kv_valid, sm_scale=sm_scale)
+
+
+def gqa_attention(q: jax.Array, k: jax.Array, v: jax.Array, *,
+                  causal: bool = True,
+                  kv_valid: Optional[jax.Array] = None,
+                  sm_scale: Optional[float] = None,
+                  impl: str = "auto") -> jax.Array:
+    """Grouped-query attention over PRE-repeat KV.
+
+    q (B, S, H, D); k, v (B, Lk, KVH, D), H a multiple of KVH; query
+    head j reads kv head j // (H // KVH) (jnp.repeat grouping).
+    Rectangular causal (Lk > S) is end-aligned — the prefix-sharing
+    prefill contract (see dot_product_attention).
+
+    Dispatch: on TPU the native grouped-KV rectangular-causal Pallas
+    kernel (ops/flash_gqa.py) — KV is never repeated in HBM and no
+    dummy query rows are computed for the prefix block. Off-TPU, or
+    for untileable shapes (logged once per shape), KV is repeated and
+    the exact einsum path runs. impl: "auto" | "flash" (error if the
+    kernel can't tile) | "einsum".
+    """
+    from wedetect_tpu.ops import flash_gqa
+
+    b, s, h, d = q.shape
+    lk, kvh = k.shape[1], k.shape[2]
+    g = h // kvh
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(d)
+    ok = flash_gqa.supports(s, lk, d, g)
+    if impl == "flash":
+        if not ok:
+            raise ValueError(
+                f"shape S={s}, Lk={lk}, D={d}, G={g} not tileable for "
+                "the grouped-KV flash kernel")
+        return flash_gqa.gqa_flash_attention(
+            q, k, v, causal=causal, kv_valid=kv_valid,
+            sm_scale=sm_scale)
+    if impl == "auto" and ok and jax.default_backend() == "tpu":
+        return flash_gqa.gqa_flash_attention(
+            q, k, v, causal=causal, kv_valid=kv_valid,
+            sm_scale=sm_scale)
+    if impl == "auto" and not ok and jax.default_backend() == "tpu":
+        _warn_flash_fallback(b, s, lk, h, d)
+    if g > 1:
+        k = jnp.repeat(k, g, axis=2)
+        v = jnp.repeat(v, g, axis=2)
+    return dot_product_attention(q, k, v, causal=causal,
+                                 kv_valid=kv_valid, sm_scale=sm_scale,
+                                 impl=impl)
