@@ -3,11 +3,16 @@
 Prints ONE JSON line. The headline metric is WeDetect-Base @640, K=80
 end-to-end detection (reference baseline 35.1 FPS, BASELINE.md); the
 "sub" object carries the additional driver-captured rows VERDICT r1
-item 6 asked for:
+item 6 / r2 item 8 asked for:
+  - wedetect_tiny_640_img_per_s (baseline 62.5 FPS)
   - wedetect_large_1280_img_per_s (baseline 6.0 FPS)
   - wedetect_base_640_k1280_img_per_s (LVIS-scale vocabulary)
-  - ref2b_queries_per_s_l2048 (flash-attention prefill, baseline
-    6.6 FPS = one query per forward on the reference GPU)
+  - ref2b/ref4b_queries_per_s (prefix-sharing batched scoring,
+    baselines 6.6 / 5.3 FPS = one query per forward upstream)
+  - rec_1q_queries_per_s (the reference's ACTUAL FPS protocol: one
+    query per image, via RefScorer.score_rec)
+  - e2e_eval_img_per_s (host JPEG decode+letterbox threads feeding
+    the device detect step — the dist_test.sh workload)
 
 Every row runs the FULL graph — uint8 input, /255, backbone, neck,
 head, contrastive scoring, DFL decode, static NMS (detect rows) /
@@ -88,30 +93,17 @@ def bench_detect(size, k, batches, iters):
     return best
 
 
-def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
-              variant="2b", split=False):
-    """Ref REC scoring: vision tower (40x30 grid) + one batched
-    flash-attention prefill scoring `proposals` boxes for `queries`
-    query rows. queries/s compares against the reference's 6.6 FPS
-    (2B) / 5.3 FPS (4B) — ONE query per forward upstream.
-
-    split=True uses the prefix-sharing path (RefScorer default): the
-    ~305-token image prefix runs the decoder once, the per-query
-    suffixes (query text + object slots, bucketed to 256) attend to
-    its KV — same logical workload, so the joint row is the direct
-    baseline."""
+def _ref_random_params(cfg, gh, gw, proposals=100, queries=8,
+                       seq_len=2048):
+    """Device-side random bf16 params for a Ref config (host-side
+    numpy init takes minutes at 4B)."""
     import jax
     import jax.numpy as jnp
 
-    from wedetect_tpu.models.ref import (RefModules, ref_score_step,
-                                         ref_score_step_split)
-    from wedetect_tpu.nn.qwen3vl import ref_2b, ref_4b
+    from wedetect_tpu.models.ref import RefModules
 
-    cfg = ref_2b() if variant == "2b" else ref_4b()
-    gh, gw = 40, 30
     mh, mw = gh // 2, gw // 2
     rng = np.random.default_rng(0)
-
     mod = RefModules(cfg, gh, gw, dtype=jnp.bfloat16)
     patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
         * cfg.vision.patch ** 2
@@ -130,7 +122,6 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
     boxes[:, 2:] += boxes[:, :2]
     objpos = np.tile(np.arange(obj0, obj0 + proposals)[None],
                      (queries, 1)).astype(np.int32)
-
     shapes = jax.eval_shape(
         lambda key: mod.init(key, patches, jnp.asarray(ids),
                              jnp.asarray(mask),
@@ -139,16 +130,182 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
                              jnp.asarray([960.0, 1280.0]), 5,
                              jnp.asarray(objpos)),
         jax.random.PRNGKey(0))["params"]
-    print(f"# ref{variant} params: "
-          f"{sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes)) / 1e9:.2f}B",
-          file=sys.stderr)
-    # device-side random init (host-side numpy takes minutes at 4B)
+    nparam = sum(int(np.prod(s.shape))
+                 for s in jax.tree.leaves(shapes)) / 1e9
+    print(f"# ref params: {nparam:.2f}B", file=sys.stderr)
     leaves, treedef = jax.tree.flatten(shapes)
     base = jax.random.PRNGKey(1)
-    params = jax.tree.unflatten(treedef, [
+    return jax.tree.unflatten(treedef, [
         jax.random.normal(jax.random.fold_in(base, i), s.shape,
                           jnp.bfloat16) * jnp.bfloat16(0.02)
         for i, s in enumerate(leaves)])
+
+
+def bench_rec(images=8, proposals=100, trials=3):
+    """The reference's ACTUAL FPS protocol (refcoco REC): ONE query
+    per image, scored end-to-end from the uint8 image through host
+    Qwen preprocessing, vision tower, prefix-sharing prefill and the
+    binary head — cross-image batched via RefScorer.score_rec.
+    queries/s compares against the 6.6 FPS 2B baseline."""
+    from wedetect_tpu.models.ref_api import RefScorer
+    from wedetect_tpu.nn.qwen3vl import ref_2b
+
+    class _CharTok:
+        def encode(self, text, add_special_tokens=False):
+            return [(ord(ch) % 80) + 1 for ch in text]
+
+    cfg = ref_2b()
+    gh, gw = 40, 30
+    params = _ref_random_params(cfg, gh, gw, proposals)
+    px = (gh * cfg.vision.patch, gw * cfg.vision.patch)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=_CharTok(),
+                       grid_buckets=(px,), max_proposals=proposals,
+                       dtype="bfloat16", query_batch=images)
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(images):
+        img = rng.integers(0, 255, (960, 720, 3)).astype(np.uint8)
+        pr = rng.uniform(0, 600, (proposals, 4)).astype(np.float32)
+        pr[:, 2:] += pr[:, :2]
+        samples.append((img, pr, f"the red object number {i}"))
+    scorer.score_rec(samples)                 # compile
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = scorer.score_rec(samples)       # returns host numpy
+        best = min(best, time.perf_counter() - t0)
+    assert len(out) == images
+    qps = images / best
+    print(f"# rec 1q/image x{images}: {qps:.1f} queries/s "
+          f"({best * 1e3:.1f} ms)", file=sys.stderr)
+    del scorer, params
+    gc.collect()
+    return qps
+
+
+def bench_e2e(n_images=240, batch_size=8, trials=2):
+    """Host+device eval pipeline: JPEG bytes -> native fused
+    decode+letterbox on loader threads -> b=8 detect step on chip
+    (the dist_test.sh workload, minus the metric bookkeeping).
+    Host-bound on single-core rigs; see PERF.md."""
+    import os
+    import tempfile
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from wedetect_tpu.configs import get_config
+    from wedetect_tpu.data.loader import EvalLoader
+    from wedetect_tpu.models.wedetect import detect_step, init_variables
+
+    cfg = get_config("base", compute_dtype="bfloat16", num_classes=80)
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+        with jax.default_device(cpu):
+            variables = init_variables(cfg, seed=0)
+        variables = jax.device_put(variables, jax.devices()[0])
+    except Exception:
+        variables = init_variables(cfg, seed=0)
+    rng = np.random.default_rng(0)
+    wtxt = jnp.asarray(rng.standard_normal((80, cfg.embed_dims))
+                       .astype(np.float32))
+
+    tmpdir = tempfile.mkdtemp(prefix="wedetect_bench_")
+    sizes = [(480, 640), (720, 1280), (1080, 1920), (640, 480)]
+    items = []
+    for i in range(n_images):
+        h, w = sizes[i % len(sizes)]
+        small = rng.integers(0, 255, (h // 16, w // 16, 3))
+        img = cv2.resize(small.astype(np.uint8), (w, h),
+                         interpolation=cv2.INTER_LINEAR)
+        path = os.path.join(tmpdir, f"{i}.jpg")
+        cv2.imwrite(path, img, [cv2.IMWRITE_JPEG_QUALITY, 90])
+        items.append({"path": path, "img_id": i})
+
+    class _DS:
+        def __init__(self, items):
+            self.items = items
+
+        def __len__(self):
+            return len(self.items)
+
+    ds = _DS(items)
+
+    def one_pass():
+        loader = EvalLoader(ds, cfg.img_size, batch_size=batch_size)
+        n = 0
+        for batch in loader:
+            det = detect_step(
+                cfg, variables, jnp.asarray(batch["images"]), wtxt,
+                jnp.asarray(batch["scale_factor"]),
+                jnp.asarray(batch["pad_param"]),
+                jnp.asarray(batch["ori_shape"]))
+            _ = np.asarray(det.valid)         # host sync per batch
+            n += batch["n_valid"]
+        return n
+
+    one_pass()                                # compile + warm caches
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        n = one_pass()
+        best = min(best, (time.perf_counter() - t0) / n)
+    ips = 1.0 / best
+    print(f"# e2e eval pipeline ({n_images} jpegs, b={batch_size}): "
+          f"{ips:.1f} img/s", file=sys.stderr)
+    for it in items:
+        os.unlink(it["path"])
+    os.rmdir(tmpdir)
+    del variables
+    gc.collect()
+    return ips
+
+
+def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
+              variant="2b", split=False):
+    """Ref REC scoring: vision tower (40x30 grid) + one batched
+    flash-attention prefill scoring `proposals` boxes for `queries`
+    query rows. queries/s compares against the reference's 6.6 FPS
+    (2B) / 5.3 FPS (4B) — ONE query per forward upstream.
+
+    split=True uses the prefix-sharing path (RefScorer default): the
+    ~305-token image prefix runs the decoder once, the per-query
+    suffixes (query text + object slots, bucketed to 256) attend to
+    its KV — same logical workload, so the joint row is the direct
+    baseline."""
+    import jax
+    import jax.numpy as jnp
+
+    from wedetect_tpu.models.ref import (ref_score_step,
+                                         ref_score_step_split)
+    from wedetect_tpu.nn.qwen3vl import ref_2b, ref_4b
+
+    cfg = ref_2b() if variant == "2b" else ref_4b()
+    gh, gw = 40, 30
+    mh, mw = gh // 2, gw // 2
+    rng = np.random.default_rng(0)
+
+    patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
+        * cfg.vision.patch ** 2
+    patches = jnp.asarray(rng.standard_normal(
+        (gh * gw, patch_dim)).astype(np.float32))
+    n_img = mh * mw
+    ids = np.full((queries, seq_len), 11, np.int32)
+    ids[:, 4] = cfg.vision_start_token_id
+    ids[:, 5:5 + n_img] = cfg.image_token_id
+    obj0 = 5 + n_img + 32
+    ids[:, obj0:obj0 + proposals] = cfg.object_token_id
+    mask = np.zeros((queries, seq_len), np.int32)
+    mask[:, :obj0 + proposals + 8] = 1
+    pos = np.tile(np.arange(seq_len)[None, None], (3, queries, 1))
+    boxes = rng.uniform(0, 600, (proposals, 4)).astype(np.float32)
+    boxes[:, 2:] += boxes[:, :2]
+    objpos = np.tile(np.arange(obj0, obj0 + proposals)[None],
+                     (queries, 1)).astype(np.int32)
+
+    params = _ref_random_params(cfg, gh, gw, proposals, queries,
+                                seq_len)
 
     if split:
         p_real = 5 + n_img                     # preamble + vision span
@@ -231,6 +388,12 @@ def main():
     sub = {}
     if on_tpu and not quick:
         try:
+            tiny = bench_detect("tiny", 80, (8,), 5)
+            sub["wedetect_tiny_640_img_per_s"] = round(tiny, 2)
+            sub["tiny_vs_baseline"] = round(tiny / 62.5, 3)
+        except Exception as e:
+            print(f"# tiny bench failed: {e!r}", file=sys.stderr)
+        try:
             large = bench_detect("large", 80, (8,), 5)
             sub["wedetect_large_1280_img_per_s"] = round(large, 2)
             sub["large_vs_baseline"] = round(large / 6.0, 3)
@@ -257,6 +420,18 @@ def main():
             sub["ref4b_vs_baseline"] = round(qps4 / 5.3, 3)
         except Exception as e:
             print(f"# ref4b bench failed: {e!r}", file=sys.stderr)
+        try:
+            # the reference's actual FPS protocol: 1 query per image
+            rec = bench_rec()
+            sub["rec_1q_queries_per_s"] = round(rec, 2)
+            sub["rec_1q_vs_baseline"] = round(rec / 6.6, 3)
+        except Exception as e:
+            print(f"# rec bench failed: {e!r}", file=sys.stderr)
+        try:
+            e2e = bench_e2e()
+            sub["e2e_eval_img_per_s"] = round(e2e, 2)
+        except Exception as e:
+            print(f"# e2e bench failed: {e!r}", file=sys.stderr)
 
     baseline = 35.1  # reference WeDetect-Base FPS (BASELINE.md)
     print(json.dumps({

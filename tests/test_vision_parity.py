@@ -4,15 +4,16 @@ the exact component the reference drives through AutoProcessor
 (/root/reference/assets/demo.jpeg), at production geometry
 (patch=16, temporal=2, merge=2, mean/std=0.5).
 
-Two layers:
+Three layers:
 - grid choice: our smart_resize picks the same (h, w) the HF
   processor resizes to (same algorithm, reference
   wedetect_ref/models/vision_process.py:56-82).
-- patchify+normalize: bit-level row ordering and values. The resize
-  RESAMPLING itself is excluded (HF uses PIL bicubic-with-antialias,
-  the production loader uses cv2.INTER_CUBIC — a conscious speed
-  choice recorded in PARITY.md), so both sides consume the same
-  pre-resized pixels here.
+- patchify+normalize: bit-level row ordering and values on shared
+  pre-resized pixels.
+- the FULL pipeline including resampling: image_to_patches' default
+  resample="pil" is the processor's own PIL-BICUBIC path, so raw
+  image -> patches matches the HF processor bit-for-bit (round-2's
+  cv2 deviation is closed; cv2 remains as an opt-in fast mode).
 """
 
 import os
@@ -75,5 +76,20 @@ def test_patchify_matches_hf_processor():
                                    merge=2)
     assert [1, gh, gw] == list(want["image_grid_thw"][0])
     assert got.shape == want["pixel_values"].shape
+    np.testing.assert_allclose(got, want["pixel_values"], rtol=1e-6,
+                               atol=1e-6)
+
+
+def test_full_pipeline_matches_hf_processor():
+    """Raw image -> patches, resampling INCLUDED (do_resize=True on
+    the HF side, image_to_patches' default resample='pil' on ours)."""
+    from PIL import Image
+
+    img = Image.open(DEMO).convert("RGB")
+    want = _processor()(images=[img], return_tensors="np")
+    got, gh, gw = image_to_patches(
+        np.asarray(img), patch=16, temporal_patch=2, merge=2,
+        min_pixels=4 * 32 * 32, max_pixels=MAX_TOKENS * 32 * 32)
+    assert [1, gh, gw] == list(want["image_grid_thw"][0])
     np.testing.assert_allclose(got, want["pixel_values"], rtol=1e-6,
                                atol=1e-6)

@@ -85,11 +85,29 @@ def snap_to_bucket(h: int, w: int, buckets) -> Tuple[int, int]:
     return min(buckets, key=lambda b: abs(b[0] / b[1] - ratio))
 
 
+def resize_pil_bicubic(img: np.ndarray, wb: int, hb: int) -> np.ndarray:
+    """The HF/Qwen processor's exact resampler: PIL BICUBIC on uint8.
+
+    Uses Pillow itself when importable (the reference's code path,
+    bit-exact by construction); otherwise the self-contained numpy
+    reimplementation in data/pil_resize.py, which is pinned
+    bit-identical to Pillow in tests/test_pil_resize.py."""
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(img).resize(
+            (wb, hb), Image.Resampling.BICUBIC))
+    except ImportError:
+        from wedetect_tpu.data.pil_resize import resize_bicubic_u8
+
+        return resize_bicubic_u8(img, wb, hb)
+
+
 def image_to_patches(img: np.ndarray, patch: int = 16,
                      temporal_patch: int = 2, merge: int = 2,
                      min_pixels: Optional[int] = None,
                      max_pixels: Optional[int] = None,
-                     grid_buckets=None):
+                     grid_buckets=None, resample: str = "pil"):
     """HWC uint8 RGB -> (patches (S, C*T*P*P) f32, grid_h, grid_w).
 
     Rows follow the Qwen processor order: merge-blocks row-major, then
@@ -100,16 +118,26 @@ def image_to_patches(img: np.ndarray, patch: int = 16,
     smart_resize grid (bounds recompiles of downstream jitted graphs
     at the cost of a small aspect distortion, comparable to
     smart_resize's own factor-32 rounding).
-    """
-    import cv2
 
+    resample: "pil" (default; bit-parity with the HF processor the
+    reference drives — reference wedetect_ref/models/vision_process.py:
+    107-135) or "cv2" (INTER_CUBIC, ~10x faster on large images, no
+    antialias on downscale; the round-2 default, kept for
+    throughput-bound pipelines that tolerate the pixel deviation).
+    """
     h, w = img.shape[:2]
     if grid_buckets:
         hb, wb = snap_to_bucket(h, w, grid_buckets)
     else:
         hb, wb = smart_resize(h, w, patch * merge, min_pixels,
                               max_pixels)
-    resized = cv2.resize(img, (wb, hb), interpolation=cv2.INTER_CUBIC)
+    if resample == "pil":
+        resized = resize_pil_bicubic(img, wb, hb)
+    else:
+        import cv2
+
+        resized = cv2.resize(img, (wb, hb),
+                             interpolation=cv2.INTER_CUBIC)
     x = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
     x = x.transpose(2, 0, 1)                    # CHW
     x = np.stack([x] * temporal_patch, 0)       # T, C, H, W
