@@ -65,7 +65,7 @@ def test_ref_scorer(tiny, monkeypatch):
     monkeypatch.setattr(vp, "image_to_patches", fake_patches)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
                        seq_buckets=(64, 128), query_batch=2,
-                       max_proposals=3)
+                       max_proposals=3, device_patchify=False)
     img = np.zeros((64, 64, 3), np.uint8)
     props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
                       [5, 20, 40, 64]], np.float32)
@@ -93,7 +93,7 @@ def test_prefix_sharing_matches_joint(tiny, monkeypatch):
     monkeypatch.setattr(vp, "image_to_patches", fake_patches)
     common = dict(cfg=cfg, params=params, tokenizer=FakeTok(),
                   seq_buckets=(64, 128), query_batch=2,
-                  max_proposals=3)
+                  max_proposals=3, device_patchify=False)
     img = np.zeros((64, 64, 3), np.uint8)
     props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
                       [5, 20, 40, 64]], np.float32)
@@ -118,7 +118,7 @@ def test_score_rec_matches_per_image(tiny, monkeypatch):
     monkeypatch.setattr(vp, "image_to_patches", fake_patches)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
                        query_batch=2, max_proposals=3,
-                       grid_buckets=((32, 32),))
+                       grid_buckets=((32, 32),), device_patchify=False)
     rng = np.random.default_rng(5)
     samples = []
     for i in range(3):   # 3 images -> one full + one padded chunk
@@ -130,3 +130,42 @@ def test_score_rec_matches_per_image(tiny, monkeypatch):
     for (img, props, q), g in zip(samples, got):
         want = scorer.score(img, props, [q], pad_token_id=0)[0]
         np.testing.assert_allclose(g, want, rtol=2e-4, atol=1e-6)
+
+
+def test_pixels_to_patches_matches_host(tiny):
+    """Device-side patchify (models/ref.pixels_to_patches) produces
+    the identical patch rows the host pipeline extracts — the
+    uint8-pixels H2D path is numerically transparent."""
+    cfg, _ = tiny
+    import jax.numpy as jnp
+
+    from wedetect_tpu.data.vision_process import image_to_patches
+    from wedetect_tpu.models.ref import pixels_to_patches
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+    v = cfg.vision
+    want, gh, gw = image_to_patches(
+        img, patch=v.patch, temporal_patch=v.temporal_patch,
+        merge=v.merge, grid_buckets=((32, 32),))
+    got = np.asarray(pixels_to_patches(
+        jnp.asarray(img), v.patch, v.temporal_patch, v.merge))
+    assert got.shape == want.shape == (gh * gw, 3 * 2 * 4 * 4)
+    np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_device_patchify_matches_host_path(tiny):
+    """RefScorer scores are identical whether patches are extracted
+    on host or the scorer ships uint8 pixels for device patchify."""
+    cfg, params = tiny
+    common = dict(cfg=cfg, params=params, tokenizer=FakeTok(),
+                  query_batch=2, max_proposals=3,
+                  grid_buckets=((32, 32),))
+    img = np.random.default_rng(9).integers(
+        0, 255, (64, 48, 3)).astype(np.uint8)
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 44]], np.float32)
+    host = RefScorer(device_patchify=False, **common).score(
+        img, props, ["dog"], pad_token_id=0)
+    dev = RefScorer(device_patchify=True, **common).score(
+        img, props, ["dog"], pad_token_id=0)
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)

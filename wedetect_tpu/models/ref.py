@@ -42,6 +42,35 @@ from wedetect_tpu.ops.sine_embed import box_xyxy_to_cxcywh, sine_embed
 Dtype = Any
 
 
+def pixels_to_patches(pixels: jax.Array, patch: int,
+                      temporal_patch: int, merge: int) -> jax.Array:
+    """(H, W, 3) uint8 resized pixels -> (gh*gw, 3*T*P*P) f32,
+    ON DEVICE — the jnp twin of data/vision_process.image_to_patches'
+    normalize+patchify tail (same row order and f32 arithmetic;
+    parity pinned in tests/test_ref_api.py).
+
+    Motivation (measured, PERF.md): shipping pre-extracted f32
+    patches moves C*T = 6 f32 bytes-per-pixel-channel over the host
+    link where the raw image is 1 uint8 byte — an 8x H2D cut. On the
+    tunneled bench rig that link is the REC bottleneck; on real TPU
+    hosts it still halves PCIe traffic vs f32 pixels. The conversion
+    itself is a reshape/transpose XLA fuses into the vision tower's
+    first projection.
+    """
+    from wedetect_tpu.data.vision_process import IMAGE_MEAN, IMAGE_STD
+
+    h, w, _ = pixels.shape
+    gh, gw = h // patch, w // patch
+    x = pixels.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGE_MEAN)) / jnp.asarray(IMAGE_STD)
+    x = x.transpose(2, 0, 1)                      # CHW
+    x = jnp.stack([x] * temporal_patch, 0)        # T, C, H, W
+    x = x.reshape(temporal_patch, 3, gh // merge, merge, patch,
+                  gw // merge, merge, patch)
+    x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)
+    return x.reshape(gh * gw, 3 * temporal_patch * patch * patch)
+
+
 class Mlp2xGelu(nn.Module):
     out: int
     dtype: Dtype = jnp.float32
@@ -230,8 +259,16 @@ class RefModules(nn.Module):
 
     def _vision_and_objects(self, patches, boxes_xyxy, ori_wh):
         """Shared front half: vision tower + RoI object features +
-        pos-embedded image tokens."""
+        pos-embedded image tokens.
+
+        patches: pre-extracted (S, C*t*p*p) f32 patches, OR raw
+        (H, W, 3) uint8 resized pixels — the latter are patchified on
+        device (pixels_to_patches), minimizing host->device bytes."""
         c = self.cfg
+        if patches.ndim == 3:
+            patches = pixels_to_patches(
+                patches, c.vision.patch, c.vision.temporal_patch,
+                c.vision.merge)
         m = c.vision.merge
         mh, mw = self.grid_h // m, self.grid_w // m
         d = c.text.hidden

@@ -50,6 +50,11 @@ class RefScorer:
     # attend to its KV. Identical logits, far fewer dense FLOPs.
     prefix_sharing: bool = True
     suffix_buckets: Tuple[int, ...] = (128, 256, 512, 1024)
+    # patchify on device: the host ships resized uint8 pixels and the
+    # jitted step runs normalize+patchify (models/ref.pixels_to_patches)
+    # — 8x fewer host->device bytes than pre-extracted f32 patches
+    # (6 f32 values per pixel channel vs 1 byte), identical numbers
+    device_patchify: bool = True
 
     def __post_init__(self):
         # fail LOUDLY at construction on a mis-sized bucket: a kv
@@ -103,6 +108,23 @@ class RefScorer:
         return np.concatenate([self.build_prefix(n_img),
                                self.build_suffix(query, n_obj)])
 
+    def _prep_patches(self, image: np.ndarray):
+        """Host vision preprocessing: resize (PIL-bicubic parity),
+        then either host patchify or — the device_patchify default —
+        return the resized uint8 pixels for on-device patchify."""
+        from wedetect_tpu.data.vision_process import (image_to_patches,
+                                                      image_to_pixels)
+
+        c = self.cfg
+        if self.device_patchify:
+            return image_to_pixels(
+                image, patch=c.vision.patch, merge=c.vision.merge,
+                grid_buckets=self.grid_buckets)
+        return image_to_patches(
+            image, patch=c.vision.patch,
+            temporal_patch=c.vision.temporal_patch,
+            merge=c.vision.merge, grid_buckets=self.grid_buckets)
+
     def score(self, image: np.ndarray, proposals: np.ndarray,
               queries: Sequence[str],
               pad_token_id: int = 151643) -> np.ndarray:
@@ -110,7 +132,6 @@ class RefScorer:
         returns (num_queries, N) sigmoid scores."""
         import jax.numpy as jnp
 
-        from wedetect_tpu.data.vision_process import image_to_patches
         from wedetect_tpu.models.ref import ref_score_step
 
         c = self.cfg
@@ -120,10 +141,7 @@ class RefScorer:
         proposals, n = self._prep_proposals(proposals, w, h)
         n_pad = self.max_proposals
 
-        patches, gh, gw = image_to_patches(
-            image, patch=c.vision.patch,
-            temporal_patch=c.vision.temporal_patch,
-            merge=c.vision.merge, grid_buckets=self.grid_buckets)
+        patches, gh, gw = self._prep_patches(image)
         n_img = (gh // c.vision.merge) * (gw // c.vision.merge)
 
         if self.prefix_sharing:
@@ -295,7 +313,6 @@ class RefScorer:
         """
         import jax.numpy as jnp
 
-        from wedetect_tpu.data.vision_process import image_to_patches
         from wedetect_tpu.models.ref import ref_rec_batch_step
 
         if not self.prefix_sharing or not self.grid_buckets:
@@ -308,10 +325,7 @@ class RefScorer:
         for idx, (image, proposals, query) in enumerate(samples):
             h, w = image.shape[:2]
             pr, n = self._prep_proposals(proposals, w, h)
-            patches, gh, gw = image_to_patches(
-                image, patch=c.vision.patch,
-                temporal_patch=c.vision.temporal_patch,
-                merge=c.vision.merge, grid_buckets=self.grid_buckets)
+            patches, gh, gw = self._prep_patches(image)
             prepped.append(dict(idx=idx, patches=patches, gh=gh, gw=gw,
                                 pr=pr, n=n, wh=(w, h), query=query))
 
