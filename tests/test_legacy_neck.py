@@ -1,8 +1,10 @@
-"""Shape/behavior tests for the legacy text-guided neck family.
+"""Shape tests + GOLDEN parity tests for the legacy text-guided necks.
 
-(The reference implementations live behind mmcv/mmdet imports that are
-not installable here; semantics were transcribed from the source —
-yolo_bricks.py — and validated structurally.)
+The golden tests instantiate the actual reference modules
+(wedetect/models/layers/yolo_bricks.py and necks/*.py) under the
+minimal mmcv/mmdet stubs in tests/mm_stub.py, convert their seeded
+random weights with wedetect_tpu.ckpt.convert, and assert numerical
+agreement (VERDICT r2 item 5: numbers, not shapes).
 """
 
 import numpy as np
@@ -128,3 +130,224 @@ def test_yolov8_pafpn_shapes():
     assert [o.shape for o in outs] == [(2, 32, 32, 64),
                                        (2, 16, 16, 128),
                                        (2, 8, 8, 256)]
+
+
+# ---------------------------------------------------------------------
+# Golden parity vs the actual reference modules (mm_stub-loaded)
+# ---------------------------------------------------------------------
+
+from conftest import reference_available  # noqa: E402
+
+golden = pytest.mark.skipif(not reference_available(),
+                            reason="reference not mounted")
+TOL = dict(rtol=2e-4, atol=2e-4)
+
+
+@pytest.fixture(scope="module")
+def refnecks():
+    pytest.importorskip("torch")
+    from mm_stub import load_reference_necks
+    return load_reference_necks()
+
+
+def _randomize(module, seed=0):
+    import torch
+
+    g = torch.Generator().manual_seed(seed)
+    sd = module.state_dict()
+    for k, v in sd.items():
+        if "num_batches_tracked" in k:
+            continue
+        if "running_var" in k:
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        else:
+            sd[k] = 0.1 * torch.randn(v.shape, generator=g)
+    module.load_state_dict(sd)
+    module.eval()
+    return module
+
+
+def _flat(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _nchw(x):
+    import torch
+
+    return torch.tensor(np.ascontiguousarray(x.transpose(0, 3, 1, 2)))
+
+
+def _nhwc(t):
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+@golden
+def test_golden_max_sigmoid_attn(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_max_sigmoid_attn
+
+    # embed == out (required by the reference reshape); embed != in so
+    # the embed_conv branch is exercised; with_scale on.
+    m = _randomize(refnecks.bricks.MaxSigmoidAttnBlock(
+        24, 16, guide_channels=40, embed_channels=16, num_heads=2,
+        with_scale=True))
+    x = rng.standard_normal((2, 8, 6, 24), dtype=np.float32)
+    g = rng.standard_normal((2, 5, 40), dtype=np.float32)
+    with torch.no_grad():
+        want = _nhwc(m(_nchw(x), torch.tensor(g)))
+    params, stats = convert_max_sigmoid_attn(_flat(m), "")
+    got = MaxSigmoidAttnBlock(16, 16, num_heads=2, with_scale=True).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@golden
+def test_golden_max_sigmoid_csp(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_max_csp
+
+    m = _randomize(refnecks.bricks.MaxSigmoidCSPLayerWithTwoConv(
+        48, 32, guide_channels=40, embed_channels=16, num_heads=2,
+        num_blocks=2, add_identity=False))
+    x = rng.standard_normal((2, 8, 8, 48), dtype=np.float32)
+    g = rng.standard_normal((2, 5, 40), dtype=np.float32)
+    with torch.no_grad():
+        want = _nhwc(m(_nchw(x), torch.tensor(g)))
+    params, stats = convert_max_csp(_flat(m), "", 2)
+    got = MaxSigmoidCSPLayerWithTwoConv(
+        32, 16, num_heads=2, num_blocks=2).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@golden
+def test_golden_image_pooling_attention(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_image_pool_attn
+
+    m = _randomize(refnecks.bricks.ImagePoolingAttentionModule(
+        image_channels=[32, 64, 128], text_channels=48,
+        embed_channels=64, num_heads=4, with_scale=True))
+    feats = [rng.standard_normal((2, s, s, c), dtype=np.float32)
+             for s, c in ((16, 32), (8, 64), (4, 128))]
+    text = rng.standard_normal((2, 6, 48), dtype=np.float32)
+    with torch.no_grad():
+        want = m(torch.tensor(text),
+                 [_nchw(f) for f in feats]).detach().numpy()
+    params, _ = convert_image_pool_attn(_flat(m), "")
+    got = ImagePoolingAttentionModule(
+        text_ch=48, embed_ch=64, num_heads=4, with_scale=True).apply(
+        {"params": params}, jnp.asarray(text),
+        [jnp.asarray(f) for f in feats])
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+@golden
+def test_golden_efficient_csp(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_csp2, convert_convbn
+    from wedetect_tpu.nn.yolo_world_pafpn import (
+        EfficientCSPLayerWithTwoConv)
+
+    m = _randomize(refnecks.bricks.EfficientCSPLayerWithTwoConv(
+        32, 32, guide_channels=40, embed_channels=16, num_blocks=1))
+    x = rng.standard_normal((1, 8, 8, 32), dtype=np.float32)
+    g = rng.standard_normal((1, 4, 40), dtype=np.float32)
+    with torch.no_grad():
+        want = _nhwc(m(_nchw(x), torch.tensor(g)))
+    sd = _flat(m)
+    params, stats = convert_csp2(sd, "", 1)
+    pc, sc = convert_convbn(sd, "attn_block.project_conv.")
+    params["attn_block"] = {"project_conv": pc}
+    stats["attn_block"] = {"project_conv": sc}
+    # reference default add_identity=True for the plain CSP blocks
+    got = EfficientCSPLayerWithTwoConv(32, num_blocks=1).apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(got), want, **TOL)
+
+
+def _world_case(refnecks, rng, dual):
+    bc = dict(type="MaxSigmoidCSPLayerWithTwoConv")
+    cls = (refnecks.world.YOLOWorldDualPAFPN if dual
+           else refnecks.world.YOLOWorldPAFPN)
+    m = _randomize(cls(
+        in_channels=[32, 64, 128], out_channels=[32, 64, 128],
+        guide_channels=40, embed_channels=[16, 32, 64],
+        num_heads=[2, 4, 8], num_csp_blocks=2, block_cfg=bc))
+    feats = [rng.standard_normal((1, s, s, c), dtype=np.float32)
+             for s, c in ((16, 32), (8, 64), (4, 128))]
+    text = rng.standard_normal((1, 5, 40), dtype=np.float32)
+    return m, feats, text
+
+
+@golden
+@pytest.mark.parametrize("dual", [False, True])
+def test_golden_yolo_world_pafpn(refnecks, rng, dual):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_yolo_world_pafpn
+
+    m, feats, text = _world_case(refnecks, rng, dual)
+    with torch.no_grad():
+        want = [_nhwc(t) for t in m([_nchw(f) for f in feats],
+                                    torch.tensor(text))]
+    params, stats = convert_yolo_world_pafpn(_flat(m), "", 2, dual=dual)
+    neck = YOLOWorldPAFPN(out_channels=(32, 64, 128),
+                          embed_channels=(16, 32, 64),
+                          num_heads=(2, 4, 8), num_csp_blocks=2,
+                          dual=dual)
+    got = neck.apply({"params": params, "batch_stats": stats},
+                     [jnp.asarray(f) for f in feats], jnp.asarray(text))
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), ww, **TOL)
+
+
+@golden
+def test_golden_yolov5_pafpn(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_yolov5_pafpn
+    from wedetect_tpu.nn.yolo_world_pafpn import YOLOv5PAFPN
+
+    m = _randomize(refnecks.v5.YOLOv5PAFPN(
+        in_channels=[32, 64, 128], out_channels=[32, 64, 128],
+        num_csp_blocks=2))
+    feats = [rng.standard_normal((1, s, s, c), dtype=np.float32)
+             for s, c in ((16, 32), (8, 64), (4, 128))]
+    with torch.no_grad():
+        want = [_nhwc(t) for t in m([_nchw(f) for f in feats])]
+    params, stats = convert_yolov5_pafpn(_flat(m), "", 2)
+    got = YOLOv5PAFPN(channels=(32, 64, 128), num_csp_blocks=2).apply(
+        {"params": params, "batch_stats": stats},
+        [jnp.asarray(f) for f in feats])
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), ww, **TOL)
+
+
+@golden
+def test_golden_yolov8_pafpn(refnecks, rng):
+    import torch
+
+    from wedetect_tpu.ckpt.convert import convert_yolov8_pafpn
+    from wedetect_tpu.nn.yolo_world_pafpn import YOLOv8PAFPN
+
+    m = _randomize(refnecks.v8.YOLOv8PAFPN(
+        in_channels=[32, 64, 128], out_channels=[32, 64, 128],
+        num_csp_blocks=2))
+    feats = [rng.standard_normal((1, s, s, c), dtype=np.float32)
+             for s, c in ((16, 32), (8, 64), (4, 128))]
+    with torch.no_grad():
+        want = [_nhwc(t) for t in m([_nchw(f) for f in feats])]
+    params, stats = convert_yolov8_pafpn(_flat(m), "", 2)
+    got = YOLOv8PAFPN(out_channels=(32, 64, 128), num_csp_blocks=2).apply(
+        {"params": params, "batch_stats": stats},
+        [jnp.asarray(f) for f in feats])
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(np.asarray(gg), ww, **TOL)

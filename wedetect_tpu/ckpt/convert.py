@@ -123,6 +123,140 @@ def convert_bifusion(sd: Flat, p: str) -> Tuple[Dict, Dict]:
     return params, stats
 
 
+def _dense(sd: Flat, p: str) -> Dict:
+    d = {"kernel": _t_lin(sd[p + "weight"])}
+    if p + "bias" in sd:
+        d["bias"] = sd[p + "bias"]
+    return d
+
+
+def convert_csp2(sd: Flat, p: str, n: int) -> Tuple[Dict, Dict]:
+    """CSPLayerWithTwoConv (reference yolo_bricks.py:88-159): mmcv
+    ConvModule main/final convs + n DarknetBottleneck(conv1 3x3,
+    conv2 3x3) blocks."""
+    params, stats = {}, {}
+    for name in ("main_conv", "final_conv"):
+        params[name], stats[name] = convert_convbn(sd, p + name + ".")
+    for i in range(n):
+        bp, bs = {}, {}
+        for c in ("conv1", "conv2"):
+            bp[c], bs[c] = convert_convbn(sd, p + f"blocks.{i}.{c}.")
+        params[f"block{i}"], stats[f"block{i}"] = bp, bs
+    return params, stats
+
+
+def convert_max_sigmoid_attn(sd: Flat, p: str) -> Tuple[Dict, Dict]:
+    """MaxSigmoidAttnBlock (reference yolo_bricks.py:162-244)."""
+    params: Dict = {"guide_fc": _dense(sd, p + "guide_fc."),
+                    "bias": sd[p + "bias"]}
+    stats: Dict = {}
+    if p + "scale" in sd:
+        params["scale"] = sd[p + "scale"]
+    if p + "embed_conv.conv.weight" in sd:
+        params["embed_conv"], stats["embed_conv"] = convert_convbn(
+            sd, p + "embed_conv.")
+    params["project_conv"], stats["project_conv"] = convert_convbn(
+        sd, p + "project_conv.")
+    return params, stats
+
+
+def convert_max_csp(sd: Flat, p: str, n: int) -> Tuple[Dict, Dict]:
+    """MaxSigmoidCSPLayerWithTwoConv (yolo_bricks.py:403-457):
+    convert_csp2 + the attn branch."""
+    params, stats = convert_csp2(sd, p, n)
+    params["attn_block"], stats["attn_block"] = convert_max_sigmoid_attn(
+        sd, p + "attn_block.")
+    return params, stats
+
+
+def convert_image_pool_attn(sd: Flat, p: str, num_feats: int = 3
+                            ) -> Tuple[Dict, Dict]:
+    """ImagePoolingAttentionModule (yolo_bricks.py:572-649).  The
+    projections are plain conv+bias (mmcv ConvModule without norm)."""
+    params: Dict = {}
+    for i in range(num_feats):
+        params[f"projection{i}"] = {"conv": {
+            "kernel": _t_conv(sd[p + f"projections.{i}.conv.weight"]),
+            "bias": sd[p + f"projections.{i}.conv.bias"]}}
+    for name in ("query", "key", "value"):
+        params[f"{name}_ln"] = convert_ln(sd, p + name + ".0.")
+        params[f"{name}_fc"] = _dense(sd, p + name + ".1.")
+    params["proj"] = _dense(sd, p + "proj.")
+    if p + "scale" in sd:
+        params["scale"] = sd[p + "scale"]
+    return params, {}
+
+
+def convert_yolo_world_pafpn(sd: Flat, p: str, n_blocks: int,
+                             num_levels: int = 3, dual: bool = False
+                             ) -> Tuple[Dict, Dict]:
+    """YOLOWorldPAFPN / YOLOWorldDualPAFPN (reference
+    necks/yolo_world_pafpn.py:1144-1364 over the base_yolo_neck.py
+    forward): reduce/upsample/out layers are parameterless; top-down and
+    bottom-up layers are MaxSigmoid CSP bricks, downsamples ConvModules."""
+    params, stats = {}, {}
+    for i in range(num_levels - 1):
+        params[f"top_down{i}"], stats[f"top_down{i}"] = convert_max_csp(
+            sd, p + f"top_down_layers.{i}.", n_blocks)
+        params[f"bottom_up{i}"], stats[f"bottom_up{i}"] = convert_max_csp(
+            sd, p + f"bottom_up_layers.{i}.", n_blocks)
+        params[f"downsample{i}"], stats[f"downsample{i}"] = convert_convbn(
+            sd, p + f"downsample_layers.{i}.")
+    if dual:
+        params["text_enhancer"], _ = convert_image_pool_attn(
+            sd, p + "text_enhancer.", num_levels)
+    return params, stats
+
+
+def convert_mmdet_csp(sd: Flat, p: str, n: int) -> Tuple[Dict, Dict]:
+    """mmdet CSPLayer (C3) as used by reference necks/yolov5_pafpn.py:
+    main/short/final ConvModules + n bottlenecks (conv1 1x1, conv2 3x3)."""
+    params, stats = {}, {}
+    for name in ("main_conv", "short_conv", "final_conv"):
+        params[name], stats[name] = convert_convbn(sd, p + name + ".")
+    for i in range(n):
+        for c in ("conv1", "conv2"):
+            key = f"block{i}_{c}"
+            params[key], stats[key] = convert_convbn(
+                sd, p + f"blocks.{i}.{c}.")
+    return params, stats
+
+
+def convert_yolov5_pafpn(sd: Flat, p: str, n_blocks: int
+                         ) -> Tuple[Dict, Dict]:
+    """YOLOv5PAFPN (reference necks/yolov5_pafpn.py:26-181), 3 levels."""
+    params, stats = {}, {}
+    params["reduce2"], stats["reduce2"] = convert_convbn(
+        sd, p + "reduce_layers.2.")
+    # top_down_layers.0 = Sequential(CSP, 1x1 reduce); .1 = CSP
+    params["top_down0"], stats["top_down0"] = convert_mmdet_csp(
+        sd, p + "top_down_layers.0.0.", n_blocks)
+    params["top_down0_reduce"], stats["top_down0_reduce"] = convert_convbn(
+        sd, p + "top_down_layers.0.1.")
+    params["top_down1"], stats["top_down1"] = convert_mmdet_csp(
+        sd, p + "top_down_layers.1.", n_blocks)
+    for i in range(2):
+        params[f"downsample{i}"], stats[f"downsample{i}"] = convert_convbn(
+            sd, p + f"downsample_layers.{i}.")
+        params[f"bottom_up{i}"], stats[f"bottom_up{i}"] = convert_mmdet_csp(
+            sd, p + f"bottom_up_layers.{i}.", n_blocks)
+    return params, stats
+
+
+def convert_yolov8_pafpn(sd: Flat, p: str, n_blocks: int,
+                         num_levels: int = 3) -> Tuple[Dict, Dict]:
+    """YOLOv8PAFPN (reference necks/yolov8_pafpn.py:25-113)."""
+    params, stats = {}, {}
+    for i in range(num_levels - 1):
+        params[f"top_down{i}"], stats[f"top_down{i}"] = convert_csp2(
+            sd, p + f"top_down_layers.{i}.", n_blocks)
+        params[f"bottom_up{i}"], stats[f"bottom_up{i}"] = convert_csp2(
+            sd, p + f"bottom_up_layers.{i}.", n_blocks)
+        params[f"downsample{i}"], stats[f"downsample{i}"] = convert_convbn(
+            sd, p + f"downsample_layers.{i}.")
+    return params, stats
+
+
 def convert_convnext(sd: Flat, p: str, depths) -> Dict:
     params = {
         "stem_conv": {"kernel": _t_conv(sd[p + "downsample_layers.0.0.weight"]),

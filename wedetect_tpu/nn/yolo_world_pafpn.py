@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from wedetect_tpu.nn.layers import ConvBN
+from wedetect_tpu.nn.layers import Conv1x1, ConvBN
 
 Dtype = Any
 BN_KW = dict(bn_eps=1e-3, bn_momentum=0.97)
@@ -173,8 +173,11 @@ class ImagePoolingAttentionModule(nn.Module):
         hc = self.embed_ch // self.num_heads
         pooled = []
         for i, f in enumerate(feats):
-            p = ConvBN(self.embed_ch, 1, 1, None, dtype=self.dtype,
-                       bn_eps=1e-5, name=f"projection{i}")(f, train)
+            # reference: mmcv ConvModule(in, embed, 1, act_cfg=None) with
+            # the DEFAULT norm_cfg=None -> plain Conv2d WITH bias, no BN
+            # (yolo_bricks.py:597-600)
+            p = Conv1x1(self.embed_ch, dtype=self.dtype,
+                        name=f"projection{i}")(f)
             p = _adaptive_max_pool(p, self.pool_size)
             pooled.append(p.reshape(b, -1, self.embed_ch))
         img = jnp.concatenate(pooled, axis=1)   # (B, P, E)
