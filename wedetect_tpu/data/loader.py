@@ -29,17 +29,21 @@ def load_image_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
 
-def eval_sample(ds: CocoDetDataset, idx: int, img_size) -> Dict:
+def eval_sample(ds: CocoDetDataset, idx: int, img_size,
+                fast_decode: bool = False) -> Dict:
     item = ds.items[idx]
     path = item["path"]
     result = None
     if path.lower().endswith((".jpg", ".jpeg")):
         # fused native decode+letterbox (C++, GIL-released); falls
-        # back below on any decode problem
+        # back below on any decode problem. fast_decode engages
+        # libjpeg DCT-scaled decode for >=2x downscales (near-exact;
+        # see native/__init__.decode_letterbox).
         from wedetect_tpu.native import decode_letterbox
 
         with open(path, "rb") as f:
-            result = decode_letterbox(f.read(), img_size)
+            result = decode_letterbox(f.read(), img_size,
+                                      fast=fast_decode)
     if result is not None:
         padded, sf, pad, ori = result
     else:
@@ -61,7 +65,8 @@ class EvalLoader:
 
     def __init__(self, ds: CocoDetDataset, img_size,
                  batch_size: int = 8, indices: Optional[Sequence[int]]
-                 = None, num_workers: int = 8, prefetch: int = 4):
+                 = None, num_workers: int = 8, prefetch: int = 4,
+                 fast_decode: bool = False):
         self.ds = ds
         self.img_size = tuple(img_size)
         self.bs = batch_size
@@ -69,6 +74,7 @@ class EvalLoader:
                             else range(len(ds)))
         self.workers = num_workers
         self.prefetch = prefetch
+        self.fast_decode = fast_decode
 
     def __len__(self):
         return (len(self.indices) + self.bs - 1) // self.bs
@@ -85,7 +91,8 @@ class EvalLoader:
                 if chunk is None:
                     return
                 futs = [pool.submit(eval_sample, self.ds, i,
-                                    self.img_size) for i in chunk]
+                                    self.img_size, self.fast_decode)
+                        for i in chunk]
                 pending.append((chunk, futs))
 
             for _ in range(self.prefetch):

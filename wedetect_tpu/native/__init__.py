@@ -119,6 +119,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int),
             ]
             lib.wd_decode_letterbox.restype = ctypes.c_int
+            if hasattr(lib, "wd_decode_letterbox_fast"):
+                lib.wd_decode_letterbox_fast.argtypes = \
+                    lib.wd_decode_letterbox.argtypes
+                lib.wd_decode_letterbox_fast.restype = ctypes.c_int
             lib.wd_jpeg_info.argtypes = [
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_int),
@@ -161,7 +165,8 @@ def coco_match(iou, gt_ig, crowd, thrs):
     return dtm, gtm
 
 
-def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114):
+def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114,
+                     fast: bool = False):
     """Fused native JPEG decode + keep-ratio + letterbox.
 
     scale: (th, tw). Returns (padded u8 HWC RGB, scale_factor (w, h)
@@ -169,12 +174,20 @@ def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114):
     ops/letterbox.preprocess_image contract — or None when the native
     library is unavailable or the bytes fail to decode (caller falls
     back to the cv2 path). Releases the GIL: thread pools parallelize.
+
+    fast=True engages libjpeg DCT-scaled decode (1/2, 1/4, 1/8) when
+    the keep-ratio target is >=2x smaller than the source — ~denom^2
+    less decode work, numerically close but not bit-identical to the
+    exact path (the scale/pad metadata stays exact).
     """
     import numpy as np
 
     lib = get_lib()
     if lib is None or not hasattr(lib, "wd_decode_letterbox"):
         return None
+    fn = (lib.wd_decode_letterbox_fast
+          if fast and hasattr(lib, "wd_decode_letterbox_fast")
+          else lib.wd_decode_letterbox)
     th, tw = int(scale[0]), int(scale[1])
     buf = np.frombuffer(jpeg_bytes, np.uint8)
     out = np.empty((th, tw, 3), np.uint8)
@@ -182,7 +195,7 @@ def decode_letterbox(jpeg_bytes: bytes, scale, pad_val: int = 114):
     pad = np.empty(4, np.float32)
     ori = np.empty(2, np.int32)
     p = ctypes.POINTER
-    rc = lib.wd_decode_letterbox(
+    rc = fn(
         buf.ctypes.data_as(p(ctypes.c_uint8)), len(jpeg_bytes),
         th, tw, pad_val, out.ctypes.data_as(p(ctypes.c_uint8)),
         sf.ctypes.data_as(p(ctypes.c_float)),

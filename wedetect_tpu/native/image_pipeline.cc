@@ -131,9 +131,15 @@ void apply_orientation(std::vector<uint8_t>* img, int* h, int* w,
   *w = ow;
 }
 
-// Decode JPEG bytes to RGB; returns 0 on success.
-int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
-                int* h, int* w) {
+// Decode JPEG bytes to RGB at 1/denom scale (denom in {1,2,4,8}:
+// libjpeg IDCT-scaled decode — the DCT blocks are reduced during the
+// inverse transform, so a 1/denom decode costs ~1/denom^2 of the IDCT
+// and color-convert work and touches 1/denom^2 of the output bytes).
+// Returns 0 on success.
+// `orient`: EXIF orientation if already parsed, or -1 to detect here.
+int decode_jpeg_scaled(const uint8_t* buf, size_t len,
+                       std::vector<uint8_t>* out, int* h, int* w,
+                       int denom, int orient = -1) {
   jpeg_decompress_struct cinfo;
   JerrMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -146,6 +152,8 @@ int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = denom;
   jpeg_start_decompress(&cinfo);
   *h = cinfo.output_height;
   *w = cinfo.output_width;
@@ -156,7 +164,32 @@ int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);
-  apply_orientation(out, h, w, exif_orientation(buf, len));
+  if (orient < 0) orient = exif_orientation(buf, len);
+  apply_orientation(out, h, w, orient);
+  return 0;
+}
+
+int decode_jpeg(const uint8_t* buf, size_t len, std::vector<uint8_t>* out,
+                int* h, int* w) {
+  return decode_jpeg_scaled(buf, len, out, h, w, 1);
+}
+
+// Header-only dims (pre-orientation). Returns 0 on success.
+int jpeg_header_dims(const uint8_t* buf, size_t len, int* h, int* w) {
+  jpeg_decompress_struct cinfo;
+  JerrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(buf), len);
+  jpeg_read_header(&cinfo, TRUE);
+  *h = cinfo.image_height;
+  *w = cinfo.image_width;
+  jpeg_destroy_decompress(&cinfo);
   return 0;
 }
 
@@ -294,31 +327,63 @@ void resize_rgb(const uint8_t* src, int h, int w, uint8_t* dst,
     resize_bilinear(src, h, w, dst, nh, nw);
 }
 
-}  // namespace
+// Shared decode + keep-ratio + letterbox implementation.  When `fast`
+// is set and the keep-ratio target is >=2x smaller than the source,
+// the JPEG is decoded at the largest 1/{2,4,8} IDCT scale that still
+// covers the target, and the remaining <2x step uses the normal area
+// kernel.  This cuts decode time ~denom^2-fold on large inputs at the
+// cost of a small, bounded numeric deviation vs the full-res path
+// (the IDCT box low-pass vs area averaging of full-res pixels;
+// pinned by tests/test_native_loader.py with tolerance).
+int decode_letterbox_impl(const uint8_t* buf, size_t len, int th, int tw,
+                          int pad_val, bool fast, uint8_t* out, float* sf,
+                          float* pad, int* ori) {
+  int denom = 1, fh = 0, fw = 0, orient = -1;
+  if (fast) {
+    if (jpeg_header_dims(buf, len, &fh, &fw)) return 1;
+    orient = exif_orientation(buf, len);
+    // oriented full-res dims drive the keep-ratio math
+    int oh = orient >= 5 ? fw : fh, ow = orient >= 5 ? fh : fw;
+    double ratio = std::min(double(std::max(th, tw)) / std::max(oh, ow),
+                            double(std::min(th, tw)) / std::min(oh, ow));
+    if (ratio < 1.0) {
+      int rh = int(oh * ratio), rw = int(ow * ratio);
+      // pre-orientation targets for the decode-scale decision
+      int trh = orient >= 5 ? rw : rh, trw = orient >= 5 ? rh : rw;
+      for (int d : {8, 4, 2}) {
+        if ((fh + d - 1) / d >= trh && (fw + d - 1) / d >= trw) {
+          denom = d;
+          break;
+        }
+      }
+    }
+  }
 
-extern "C" {
-
-// Decode + keep-ratio + letterbox. out must hold th*tw*3 bytes.
-// sf: (w_ratio, h_ratio); pad: (top, bottom, left, right);
-// ori: (h, w). Returns 0 on success, nonzero on decode failure.
-int wd_decode_letterbox(const uint8_t* buf, size_t len, int th, int tw,
-                        int pad_val, uint8_t* out, float* sf,
-                        float* pad, int* ori) {
   std::vector<uint8_t> img;
   int h, w;
-  if (decode_jpeg(buf, len, &img, &h, &w)) return 1;
-  ori[0] = h;
-  ori[1] = w;
+  if (decode_jpeg_scaled(buf, len, &img, &h, &w, denom, orient))
+    return 1;
+  // full-res oriented dims: the scale/pad arithmetic below must be
+  // identical to the exact path, so recover them when denom > 1
+  int h0 = h, w0 = w;
+  if (denom != 1) {
+    h0 = orient >= 5 ? fw : fh;
+    w0 = orient >= 5 ? fh : fw;
+  }
+  ori[0] = h0;
+  ori[1] = w0;
 
   // stage 1: keep-ratio (allow_scale_up=True), truncated int sizes
-  double ratio = std::min(double(std::max(th, tw)) / std::max(h, w),
-                          double(std::min(th, tw)) / std::min(h, w));
-  int rh = h, rw = w;
+  double ratio = std::min(double(std::max(th, tw)) / std::max(h0, w0),
+                          double(std::min(th, tw)) / std::min(h0, w0));
+  int rh = h0, rw = w0;
+  if (ratio != 1.0) {
+    rh = int(h0 * ratio);
+    rw = int(w0 * ratio);
+  }
   std::vector<uint8_t> stage1;
   const uint8_t* cur = img.data();
-  if (ratio != 1.0) {
-    rh = int(h * ratio);
-    rw = int(w * ratio);
+  if (rh != h || rw != w) {   // no-op when scaled decode hit target
     stage1.resize(size_t(rh) * rw * 3);
     resize_rgb(cur, h, w, stage1.data(), rh, rw);
     cur = stage1.data();
@@ -344,15 +409,39 @@ int wd_decode_letterbox(const uint8_t* buf, size_t len, int th, int tw,
   pad[1] = float(pad_h - top);
   pad[2] = float(left);
   pad[3] = float(pad_w - left);
-  // preprocess_image composes the two stage ratios (== nw/w, nh/h)
-  sf[0] = float((double(nw) / rw) * (double(rw) / w));
-  sf[1] = float((double(nh) / rh) * (double(rh) / h));
+  // preprocess_image composes the two stage ratios (== nw/w0, nh/h0)
+  sf[0] = float((double(nw) / rw) * (double(rw) / w0));
+  sf[1] = float((double(nh) / rh) * (double(rh) / h0));
 
   std::memset(out, pad_val, size_t(th) * tw * 3);
   for (int y = 0; y < nh; ++y)
     std::memcpy(out + (size_t(y + top) * tw + left) * 3,
                 cur + size_t(y) * nw * 3, size_t(nw) * 3);
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + keep-ratio + letterbox. out must hold th*tw*3 bytes.
+// sf: (w_ratio, h_ratio); pad: (top, bottom, left, right);
+// ori: (h, w). Returns 0 on success, nonzero on decode failure.
+int wd_decode_letterbox(const uint8_t* buf, size_t len, int th, int tw,
+                        int pad_val, uint8_t* out, float* sf,
+                        float* pad, int* ori) {
+  return decode_letterbox_impl(buf, len, th, tw, pad_val, false, out,
+                               sf, pad, ori);
+}
+
+// Same contract, but engages DCT-scaled (1/2, 1/4, 1/8) decode for
+// >=2x downscales (VERDICT r2 item 7). Numerically close to, but not
+// bit-identical with, wd_decode_letterbox on engaged inputs.
+int wd_decode_letterbox_fast(const uint8_t* buf, size_t len, int th,
+                             int tw, int pad_val, uint8_t* out,
+                             float* sf, float* pad, int* ori) {
+  return decode_letterbox_impl(buf, len, th, tw, pad_val, true, out,
+                               sf, pad, ori);
 }
 
 // Plain decode to RGB (h*w*3). Call wd_jpeg_info first for sizes.
