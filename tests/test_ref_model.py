@@ -27,12 +27,16 @@ pytestmark = pytest.mark.skipif(not reference_available(),
 
 
 def torch_roi_align_stub(feat, boxes, out, scale, **kw):
-    """torchvision.ops.roi_align replacement with fixed sampling
-    ratio 2 (matches the JAX kernel's static default)."""
+    """torchvision.ops.roi_align replacement with ADAPTIVE sampling
+    (ratio 0 = torchvision's sampling_ratio=-1 default, which the
+    reference uses at qwen3vl_referring.py:220-222 and the JAX kernel
+    reproduces). A fixed ratio here would silently test a different
+    quadrature — caught by the 2B-shaped parity test, where the
+    mismatch surfaced as a 0.19 logit error."""
     res = []
     for b in range(feat.shape[0]):
         f = feat[b].permute(1, 2, 0).numpy()
-        r = np_roi_align(f, boxes[b].numpy(), out, scale, 2)
+        r = np_roi_align(f, boxes[b].numpy(), out, scale, 0)
         res.append(torch.tensor(r, dtype=feat.dtype).permute(0, 3, 1, 2))
     return torch.cat(res)
 
