@@ -207,6 +207,77 @@ def test_ref_grounding_parity_real_image(ref_model):
                                atol=2e-3)
 
 
+def test_ref_grounding_parity_multi_image(ref_model, rng):
+    """TWO images (different grids) in ONE sequence, boxes on both.
+
+    The reference forward natively supports this (one bboxes /
+    ori_shapes entry per IMAGE, qwen3vl_referring.py:186-258) even
+    though its eval drivers are single-image; the JAX twin is
+    RefModules.score_multi with static per-image grids + span
+    offsets."""
+    hf_cfg, model, mod = ref_model
+    cfg = RefCfg.from_hf_config(hf_cfg)
+    from wedetect_tpu.models.ref import ref_score_step_multi
+    from wedetect_tpu.nn.qwen3vl import get_rope_index_multi
+
+    grids = ((8, 12), (4, 8))
+    p0 = rng.standard_normal(
+        (grids[0][0] * grids[0][1], 3 * 2 * 4 * 4)).astype(np.float32)
+    p1 = rng.standard_normal(
+        (grids[1][0] * grids[1][1], 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes0 = np.array([[5, 5, 50, 40], [20, 10, 90, 55]], np.float32)
+    boxes1 = np.array([[0, 0, 30, 30], [10, 5, 60, 35]], np.float32)
+    ow0, oh0 = 100.0, 60.0
+    ow1, oh1 = 64.0, 40.0
+    n0, n1 = len(boxes0), len(boxes1)
+    nimg0 = (grids[0][0] // 2) * (grids[0][1] // 2)
+    nimg1 = (grids[1][0] // 2) * (grids[1][1] // 2)
+
+    ids = np.concatenate([
+        np.array([1, 2, 122]), np.full(nimg0, 120),
+        np.array([7, 122]), np.full(nimg1, 120),
+        np.array([9, 8]), np.full(n0 + n1, 123), np.array([2])])
+    l = len(ids)
+    vs = (3, 3 + nimg0 + 2)
+    input_ids = np.stack([ids, ids])
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(input_ids),
+            attention_mask=torch.ones(2, l, dtype=torch.long),
+            pixel_values=torch.tensor(
+                np.concatenate([p0, p1, p0, p1])),
+            image_grid_thw=torch.tensor(
+                [[1, *grids[0]], [1, *grids[1]]] * 2,
+                dtype=torch.long),
+            bboxes=[boxes0.tolist(), boxes1.tolist()] * 2,
+            ori_shapes=[(ow0, oh0), (ow1, oh1)] * 2,
+            bboxes_id=123,
+        )
+    obj_pos = np.nonzero(input_ids[0] == 123)[0]
+    want_obj = out.logits[..., 0].numpy()[:, obj_pos]
+    assert np.std(want_obj) > 1e-4
+
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = convert_ref_model(sd, cfg)
+    pos = get_rope_index_multi(ids, 120, grids, 2)
+    pos_ids = np.broadcast_to(pos[:, None, :],
+                              (3, 2, l)).astype(np.int32)
+    got = ref_score_step_multi(
+        cfg, grids, params,
+        (jnp.asarray(p0), jnp.asarray(p1)),
+        jnp.asarray(input_ids.astype(np.int32)),
+        jnp.asarray(np.ones((2, l), np.int32)),
+        jnp.asarray(pos_ids),
+        (jnp.asarray(boxes0), jnp.asarray(boxes1)),
+        (jnp.asarray(np.array([ow0, oh0], np.float32)),
+         jnp.asarray(np.array([ow1, oh1], np.float32))),
+        vs,
+        jnp.asarray(np.broadcast_to(obj_pos[None], (2, n0 + n1))
+                    .astype(np.int32)))
+    np.testing.assert_allclose(np.asarray(got), want_obj, rtol=2e-3,
+                               atol=2e-3)
+
+
 def _run_width_parity(mod, vis_depth, deepstack, txt_layers, vocab,
                       hidden=2048, heads=16, intermediate=6144):
     """End-to-end golden at FULL production widths (ViT hidden 1024,

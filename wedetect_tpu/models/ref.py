@@ -286,6 +286,90 @@ class RefModules(nn.Module):
             self.extras.image_pos(mh, mw), (self.grid_t, 1))
         return img_tokens, obj, taps
 
+    def _vision_one(self, patches, gh: int, gw: int):
+        """One image at a call-time grid (params are grid-independent;
+        nn/qwen3vl.VisionModel grid override). Returns (pos-embedded
+        img tokens (V, D), taps list, (s1, s2, s3) merged-grid maps)."""
+        c = self.cfg
+        if patches.ndim == 3:
+            patches = pixels_to_patches(
+                patches, c.vision.patch, c.vision.temporal_patch,
+                c.vision.merge)
+        m = c.vision.merge
+        mh, mw = gh // m, gw // m
+        d = c.text.hidden
+        img_embeds, taps = self.vision(patches, grid_h=gh, grid_w=gw,
+                                       grid_t=1)
+        scale3 = img_embeds.reshape(mh, mw, d)
+        scale2 = taps[-1].reshape(mh, mw, d)
+        scale1 = taps[-2].reshape(mh, mw, d)
+        img_tokens = img_embeds + self.extras.image_pos(mh, mw)
+        return img_tokens, taps, (scale1, scale2, scale3)
+
+    def _objects_from(self, scales, boxes_xyxy, ori_wh):
+        """RoI object features for boxes on the image whose merged
+        grid maps are `scales`."""
+        s1, s2, s3 = self.extras.build_pyramid(*scales)
+        mh, mw = scales[2].shape[:2]
+        norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
+                           jnp.float32)
+        ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
+        boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
+        return self.extras.object_feats(s1, s2, s3, boxes_32)
+
+    def score_multi(self, patches_list, grids, input_ids, attn_mask,
+                    position_ids, boxes_list, ori_wh_list,
+                    visual_starts, object_positions):
+        """Score proposals for sequences holding SEVERAL images.
+
+        The reference forward natively supports this layout
+        (qwen3vl_referring.py:186-258: one bboxes/ori_shapes entry per
+        IMAGE; object features concatenate across images in order and
+        scatter into the <object> slots) even though its eval drivers
+        are single-image; this is the TPU twin with static per-image
+        grids.
+
+        patches_list: tuple, one (S_i, C*t*p*p) f32 / (H_i, W_i, 3)
+        uint8 entry per image; grids: static tuple of UNMERGED
+        (gh_i, gw_i); visual_starts: static tuple of span offsets;
+        boxes_list: per-image (N_i, 4) original-coordinate boxes or
+        None (image contributes no object features); ori_wh_list:
+        per-image (2,) (width, height). object_positions: (B, N_total)
+        with N_total = sum N_i, indexing <object> slots in image order
+        (-1 = padded slot). Returns (B, N_total) logits."""
+        tokens, taps_all, objs = [], [], []
+        for patches_i, (gh, gw), boxes_i, ori_i in zip(
+                patches_list, grids, boxes_list, ori_wh_list):
+            img_tokens, taps, scales = self._vision_one(
+                patches_i, gh, gw)
+            tokens.append(img_tokens)
+            taps_all.append(taps)
+            if boxes_i is not None:
+                objs.append(self._objects_from(scales, boxes_i, ori_i))
+        obj = jnp.concatenate(objs, axis=0)           # (N_total, D)
+
+        x = self.embed(input_ids)                     # (B, L, D)
+        b = x.shape[0]
+        for tok, vs in zip(tokens, visual_starts):
+            x = jax.lax.dynamic_update_slice_in_dim(
+                x, jnp.broadcast_to(tok[None].astype(x.dtype),
+                                    (b,) + tok.shape), vs, axis=1)
+        bidx = jnp.arange(b)[:, None]
+        pos = jnp.clip(object_positions, 0)
+        cur = x[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(x.dtype),
+                                          (b,) + obj.shape), cur)
+        x = x.at[bidx, pos].set(newv)
+
+        ds = [tuple(taps[i] for taps in taps_all)
+              for i in range(len(taps_all[0]))]
+        hidden = self.text(x, position_ids, attn_mask,
+                           deepstack_embeds=ds,
+                           visual_start=tuple(visual_starts))
+        logits = self.extras.score(hidden)            # (B, L)
+        return jnp.take_along_axis(logits, pos, axis=1)
+
     def prefill_split(self, patches, prefix_ids, suffix_ids,
                       prefix_mask, suffix_mask, prefix_position_ids,
                       suffix_position_ids, boxes_xyxy, ori_wh,
@@ -384,6 +468,23 @@ def ref_score_step(cfg: RefCfg, grid_h: int, grid_w: int, params,
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 11, 12))
+def ref_score_step_multi(cfg: RefCfg, grids, params, patches_list,
+                         input_ids, attn_mask, position_ids,
+                         boxes_list, ori_wh_list, visual_starts,
+                         object_positions, dtype=jnp.float32,
+                         attn_impl: str = "auto"):
+    """Jitted multi-image REC scoring (RefModules.score_multi).
+    grids: static tuple of per-image unmerged (gh, gw);
+    visual_starts: static tuple of span offsets. (B, N_total) logits."""
+    return RefModules(cfg, grids[0][0], grids[0][1], dtype=dtype,
+                      attn_impl=attn_impl).apply(
+        {"params": params}, tuple(patches_list), tuple(grids),
+        input_ids, attn_mask, position_ids, tuple(boxes_list),
+        tuple(ori_wh_list), tuple(visual_starts), object_positions,
+        method="score_multi")
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 10, 11, 12))

@@ -278,22 +278,31 @@ class VisionModel(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, patches):
+    def __call__(self, patches, grid_h: Optional[int] = None,
+                 grid_w: Optional[int] = None,
+                 grid_t: Optional[int] = None):
+        """grid_h/grid_w/grid_t override the module attrs per call —
+        every parameter is grid-independent (the pos-embed table is a
+        fixed side*side grid bilinearly resampled to the call grid),
+        so ONE param tree serves sequences mixing image sizes
+        (multi-image scoring, models/ref.score_multi)."""
         c = self.cfg
+        gh = self.grid_h if grid_h is None else grid_h
+        gw = self.grid_w if grid_w is None else grid_w
+        gt = self.grid_t if grid_t is None else grid_t
         x = nn.Dense(c.hidden, dtype=self.dtype,
                      name="patch_embed")(patches.astype(self.dtype))
         side = int(c.num_pos_emb ** 0.5)
-        idx, wgt = vision_pos_interp(self.grid_h, self.grid_w, side,
-                                     c.merge)
+        idx, wgt = vision_pos_interp(gh, gw, side, c.merge)
         table = self.param("pos_embed", nn.initializers.normal(0.02),
                            (c.num_pos_emb, c.hidden), jnp.float32)
         pos = jnp.einsum("ksd,ks->sd", table[jnp.asarray(idx)],
                          jnp.asarray(wgt, jnp.float32))
-        pos = jnp.tile(pos, (self.grid_t, 1))
+        pos = jnp.tile(pos, (gt, 1))
         x = x + pos.astype(self.dtype)
 
-        ids = vision_pos_ids(self.grid_h, self.grid_w, c.merge)
-        ids = np.tile(ids, (self.grid_t, 1))
+        ids = vision_pos_ids(gh, gw, c.merge)
+        ids = np.tile(ids, (gt, 1))
         dim = c.head_dim // 4
         inv = 1.0 / (10000.0 ** (np.arange(0, dim * 2, 2,
                                            dtype=np.float64) / (dim * 2)))
@@ -307,7 +316,7 @@ class VisionModel(nn.Module):
         # rows carry segment id 0 so they never leak into real tokens
         # (exact under the einsum fallback too: -1e9 bias underflows
         # to an exact 0 softmax weight)
-        s = self.grid_t * self.grid_h * self.grid_w
+        s = gt * gh * gw
         s_pad = -(-s // 128) * 128
         valid = None
         if s_pad != s:
@@ -441,10 +450,20 @@ class TextModel(nn.Module):
                 for i in range(self.cfg.layers)]
 
     def _inject_deepstack(self, x, ds, visual_start):
-        span = jax.lax.dynamic_slice_in_dim(
-            x, visual_start, ds.shape[0], axis=1)
-        return jax.lax.dynamic_update_slice_in_dim(
-            x, span + ds[None], visual_start, axis=1)
+        """Add tap features over visual span(s). ds / visual_start may
+        be a single (V, D) array + int, or a tuple of arrays + tuple
+        of ints for sequences holding SEVERAL images (each image's tap
+        lands at its own span — matches the HF masked-scatter over all
+        image-token positions)."""
+        if not isinstance(ds, (tuple, list)):
+            ds, visual_start = (ds,), (visual_start,)
+        for d_i, vs_i in zip(ds, visual_start):
+            d_i = d_i.astype(self.dtype)
+            span = jax.lax.dynamic_slice_in_dim(
+                x, vs_i, d_i.shape[0], axis=1)
+            x = jax.lax.dynamic_update_slice_in_dim(
+                x, span + d_i[None], vs_i, axis=1)
+        return x
 
     def __call__(self, inputs_embeds, position_ids, attention_mask,
                  deepstack_embeds: Optional[Sequence[jax.Array]] = None,
@@ -457,8 +476,7 @@ class TextModel(nn.Module):
             x = layer(x, cos, sin, kv_valid)
             if deepstack_embeds is not None and i < len(deepstack_embeds):
                 x = self._inject_deepstack(
-                    x, deepstack_embeds[i].astype(self.dtype),
-                    visual_start)
+                    x, deepstack_embeds[i], visual_start)
         return self.norm(x)
 
     def prefix_pass(self, prefix_embeds, prefix_position_ids,
@@ -479,8 +497,7 @@ class TextModel(nn.Module):
             kvs.append(kv)
             if deepstack_embeds is not None and i < len(deepstack_embeds):
                 x = self._inject_deepstack(
-                    x, deepstack_embeds[i].astype(self.dtype),
-                    visual_start)
+                    x, deepstack_embeds[i], visual_start)
         return tuple(kvs)
 
     def suffix_pass(self, kvs, suffix_embeds, suffix_position_ids,
@@ -603,4 +620,40 @@ def get_rope_index_single_video(input_ids: np.ndarray,
     nxt = st + max(grid_t, mh, mw)
     rest = l - (st + n)
     pos[:, st + n:] = nxt + np.arange(rest)
+    return pos
+
+
+def get_rope_index_multi(input_ids: np.ndarray, image_token_id: int,
+                         grids: Sequence[Tuple[int, int]],
+                         merge: int) -> np.ndarray:
+    """Host-side MRoPE position ids for ONE sequence holding SEVERAL
+    images (HF get_rope_index semantics generalized from the
+    single-image helper above): text positions advance all three axes
+    together; the i-th contiguous image-token run gets (t=st, st+row,
+    st+col) grid positions where st is the running offset; text after
+    each image resumes at st + max(mh_i, mw_i). grids lists each
+    image's UNMERGED (grid_h, grid_w) in order of appearance.
+    Returns (3, L)."""
+    l = len(input_ids)
+    pos = np.zeros((3, l), np.int64)
+    is_img = input_ids == image_token_id
+    # contiguous runs of image tokens, in order
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        [[0], is_img.view(np.int8), [0]])))
+    runs = list(zip(edges[::2], edges[1::2]))
+    assert len(runs) == len(grids), (len(runs), len(grids))
+    cur = 0     # next text position
+    prev_end = 0
+    for (st, en), (gh, gw) in zip(runs, grids):
+        mh, mw = gh // merge, gw // merge
+        assert en - st == mh * mw, (en - st, mh, mw)
+        n_text = st - prev_end
+        pos[:, prev_end:st] = cur + np.arange(n_text)
+        cur += n_text
+        pos[0, st:en] = cur
+        pos[1, st:en] = cur + np.repeat(np.arange(mh), mw)
+        pos[2, st:en] = cur + np.tile(np.arange(mw), mh)
+        cur += max(mh, mw)
+        prev_end = en
+    pos[:, prev_end:] = cur + np.arange(l - prev_end)
     return pos
