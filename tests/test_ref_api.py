@@ -169,3 +169,40 @@ def test_device_patchify_matches_host_path(tiny):
     dev = RefScorer(device_patchify=True, **common).score(
         img, props, ["dog"], pad_token_id=0)
     np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-6)
+
+
+def test_score_multi_images(tiny, monkeypatch):
+    """Multi-image conversation scoring: 3 images (middle one context
+    only), per-image score blocks; 1-image degenerate case equals the
+    single-image joint path (identical token layout)."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(int(img[0, 0, 0]) + 1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       seq_buckets=(128, 256), query_batch=2,
+                       max_proposals=3, device_patchify=False,
+                       prefix_sharing=False)
+    imgs = [np.full((64, 64, 3), v, np.uint8) for v in (0, 1, 2)]
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 60]], np.float32)
+    props2 = np.array([[5, 20, 40, 64]], np.float32)
+    out = scorer.score_multi_images(
+        imgs, [props, None, props2], ["red box", "dog", "cat"],
+        pad_token_id=0)
+    assert len(out) == 2                      # proposal-bearing images
+    assert out[0].shape == (3, 2) and out[1].shape == (3, 1)
+    for blk in out:
+        assert np.isfinite(blk).all()
+        assert ((blk > 0) & (blk < 1)).all()
+
+    # 1-image degenerate case: same layout as the single-image path
+    single = scorer.score(imgs[0], props, ["red box"], pad_token_id=0)
+    multi = scorer.score_multi_images(imgs[:1], [props], ["red box"],
+                                      pad_token_id=0)
+    np.testing.assert_allclose(multi[0], single[:, :2], rtol=1e-4,
+                               atol=1e-5)

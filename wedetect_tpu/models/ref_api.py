@@ -108,6 +108,19 @@ class RefScorer:
         return np.concatenate([self.build_prefix(n_img),
                                self.build_suffix(query, n_obj)])
 
+    def build_prefix_multi(self, n_imgs: Sequence[int]) -> np.ndarray:
+        """Chat preamble + SEVERAL vision spans (one per image)."""
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required to build sequences"
+        parts = [tok.encode("<|im_start|>user\n",
+                            add_special_tokens=False)]
+        ve = tok.encode("<|vision_end|>", add_special_tokens=False)
+        for n in n_imgs:
+            parts += [[c.vision_start_token_id],
+                      [c.image_token_id] * n, ve]
+        return np.array([t for p in parts for t in p], np.int32)
+
     def _prep_patches(self, image: np.ndarray):
         """Host vision preprocessing: resize (PIL-bicubic parity),
         then either host patchify or — the device_patchify default —
@@ -299,6 +312,81 @@ class RefScorer:
                 jnp.asarray(maskb), jnp.asarray(posb), pmask,
                 jnp.asarray(objb), self._jnp_dtype(), self.attn_impl))
         return 1.0 / (1.0 + np.exp(-out[:, :n]))
+
+    def score_multi_images(self, images, proposals_list,
+                           queries: Sequence[str],
+                           pad_token_id: int = 151643):
+        """Score proposals across SEVERAL images in ONE conversation
+        (RefModules.score_multi — a layout the reference model
+        supports but its single-image eval drivers never exercise).
+
+        images: list of HWC uint8 RGB; proposals_list: per-image
+        (Ni, 4) xyxy boxes or None (the image is context only);
+        queries: list of query strings (each scored in its own row
+        against ALL proposals). Returns a list of (num_queries, Ni)
+        sigmoid score arrays, one per proposal-bearing image, in image
+        order."""
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.ref import ref_score_step_multi
+
+        c = self.cfg
+        n_pad = self.max_proposals
+        patches_list, grids, ori_list = [], [], []
+        boxes_list, n_real = [], []
+        for image, proposals in zip(images, proposals_list):
+            h, w = image.shape[:2]
+            patches, gh, gw = self._prep_patches(image)
+            patches_list.append(jnp.asarray(patches))
+            grids.append((gh, gw))
+            ori_list.append(jnp.asarray(np.array([w, h], np.float32)))
+            if proposals is None:
+                boxes_list.append(None)
+            else:
+                pr, n = self._prep_proposals(proposals, w, h)
+                boxes_list.append(jnp.asarray(pr))
+                n_real.append(n)
+        n_total = n_pad * len(n_real)
+
+        m = c.vision.merge
+        n_imgs = [(gh // m) * (gw // m) for gh, gw in grids]
+        prefix = self.build_prefix_multi(n_imgs)
+        seqs = [np.concatenate([prefix,
+                                self.build_suffix(q, n_total)])
+                for q in queries]
+        max_len = max(len(s) for s in seqs)
+        l = pad_to_bucket(max_len, self.seq_buckets)
+        ids = np.full((len(seqs), l), pad_token_id, np.int32)
+        mask = np.zeros((len(seqs), l), np.int32)
+        for i, s in enumerate(seqs):
+            ids[i, :len(s)] = s
+            mask[i, :len(s)] = 1
+        img_pos = np.nonzero(prefix == c.image_token_id)[0]
+        starts, off = [], 0
+        for n in n_imgs:
+            starts.append(int(img_pos[off]))
+            off += n
+        obj_pos = np.stack([
+            np.nonzero(s == c.object_token_id)[0][:n_total]
+            for s in seqs]).astype(np.int32)
+        from wedetect_tpu.nn.qwen3vl import get_rope_index_multi
+        pos = np.stack([
+            np.pad(get_rope_index_multi(
+                s, c.image_token_id, tuple(grids), m),
+                ((0, 0), (0, l - len(s))))
+            for s in seqs], axis=1).astype(np.int32)   # (3, Q, L)
+
+        out = self._dispatch_batches(
+            len(seqs), n_total, ids, mask, pos, obj_pos,
+            lambda idsb, maskb, posb, objb: ref_score_step_multi(
+                c, tuple(grids), self.params, tuple(patches_list),
+                jnp.asarray(idsb), jnp.asarray(maskb),
+                jnp.asarray(posb), tuple(boxes_list), tuple(ori_list),
+                tuple(starts), jnp.asarray(objb), self._jnp_dtype(),
+                self.attn_impl))
+        scores = 1.0 / (1.0 + np.exp(-out))
+        return [scores[:, i * n_pad:i * n_pad + n]
+                for i, n in enumerate(n_real)]
 
     def score_rec(self, samples, pad_token_id: int = 151643):
         """Cross-image REC scoring: `samples` is a list of
