@@ -206,3 +206,25 @@ def test_score_multi_images(tiny, monkeypatch):
                                       pad_token_id=0)
     np.testing.assert_allclose(multi[0], single[:, :2], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_generate_text(tiny, monkeypatch):
+    """Chat generation through the RefScorer surface (tiny model,
+    fake tokenizer): returns token list (no decode on FakeTok)."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       max_proposals=3, device_patchify=False)
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = scorer.generate_text(img, "describe the image",
+                               max_new_tokens=4, eos_token_id=95,
+                               pad_token_id=0)
+    assert isinstance(out, list) and len(out) <= 4
+    assert all(0 <= t < cfg.text.vocab_size for t in out)

@@ -133,9 +133,15 @@ def convert_grounding_extras(sd: Flat, p: str = "model.") -> Dict:
             "bias": np.asarray(sd[p + "first_scale_norm.bias"])},
         "merge": {"kernel": _t(sd[p + "merge.weight"]),
                   "bias": np.asarray(sd[p + "merge.bias"])},
-        "out_proj": {"kernel": _t(sd["out_proj.weight"]),
-                     "bias": np.asarray(sd["out_proj.bias"])},
     }
+    # the referring scorer has the binary head; the stage-1/2
+    # generation twin (qwen3vl_grounding.py) does not — flax only
+    # resolves params lazily, so scoring paths still fail loudly if
+    # out_proj is missing while generation works without it
+    if "out_proj.weight" in sd:
+        params["out_proj"] = {
+            "kernel": _t(sd["out_proj.weight"]),
+            "bias": np.asarray(sd["out_proj.bias"])}
     return params
 
 
@@ -150,5 +156,10 @@ def convert_ref_model(sd: Flat, cfg: RefCfg) -> Dict:
         "embed": convert_embedder(sd),
         "extras": convert_grounding_extras(sd),
     }
+    # the stage-1/2 twin (qwen3vl_grounding.py:315) carries an UNTIED
+    # lm_head Linear for generation; map it when present so
+    # models/ref_generate + train/ref_lm use it over the tied embedding
+    if "lm_head.weight" in sd:
+        out["lm_head"] = {"kernel": sd["lm_head.weight"].T}
     return jax.tree.map(
         lambda x: jnp.asarray(np.asarray(x, np.float32)), out)

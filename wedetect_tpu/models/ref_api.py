@@ -394,6 +394,56 @@ class RefScorer:
         return [scores[:, i * n_pad:i * n_pad + n]
                 for i, n in enumerate(n_real)]
 
+    def generate_text(self, image: np.ndarray, prompt: str,
+                      max_new_tokens: int = 64,
+                      temperature: float = 0.0,
+                      eos_token_id: int = 151645,
+                      pad_token_id: int = 151643,
+                      seed: int = 0) -> str:
+        """Chat/captioning: greedy (or temperature-sampled) generation
+        from an image + user prompt through the grounding trunk — the
+        TPU twin of the reference stage-1/2 class's inherited HF
+        .generate() (qwen3vl_grounding.py:311-379). One jitted call:
+        batched prefill + lax.scan KV-cache decode
+        (models/ref_generate). Returns the decoded text (tokens up to
+        eos)."""
+        import jax
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.ref_generate import ref_generate
+        from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
+
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required"
+        h, w = image.shape[:2]
+        patches, gh, gw = self._prep_patches(image)
+        m = c.vision.merge
+        n_img = (gh // m) * (gw // m)
+        tail = tok.encode(prompt + "<|im_end|>\n<|im_start|>assistant"
+                          "\n", add_special_tokens=False)
+        ids = np.concatenate([self.build_prefix(n_img),
+                              np.array(tail, np.int32)])
+        pos = get_rope_index_single_image(
+            ids, c.image_token_id, gh, gw, m)
+        visual_start = int(np.nonzero(ids == c.image_token_id)[0][0])
+        toks = np.asarray(ref_generate(
+            c, gh, gw, self.params, jnp.asarray(patches),
+            jnp.asarray(ids[None].astype(np.int32)),
+            jnp.asarray(np.ones((1, len(ids)), np.int32)),
+            jnp.asarray(pos[:, None].astype(np.int32)), visual_start,
+            jnp.asarray(np.array([pos.max() + 1], np.int32)),
+            jnp.asarray(np.array([[0, 0, w, h]], np.float32)),
+            jnp.asarray(np.array([w, h], np.float32)),
+            max_new_tokens, eos_token_id, temperature, pad_token_id,
+            rng=jax.random.PRNGKey(seed)))[0]
+        keep = []
+        for t in toks:
+            if t in (eos_token_id, pad_token_id):
+                break
+            keep.append(int(t))
+        return tok.decode(keep) if hasattr(tok, "decode") else keep
+
     def score_rec(self, samples, pad_token_id: int = 151643):
         """Cross-image REC scoring: `samples` is a list of
         (image HWC u8, proposals (Ni, 4), query str) — ONE query per

@@ -1,0 +1,233 @@
+"""Autoregressive text generation for WeDetect-Ref (chat/captioning).
+
+Behavioral spec: reference wedetect_ref/models/qwen3vl_grounding.py:
+311-379 — Qwen3VLGroundingForConditionalGeneration extends the HF
+Qwen3VLForConditionalGeneration (untied lm_head Linear) and inherits
+``.generate()``; the reference uses this class for the stage-1/2 SFT
+twin, so a trained checkpoint can caption/chat as well as ground.
+
+TPU design: ONE jitted call — a batched prefill through the grounding
+trunk (image pos embeds + deepstack + optional object features, i.e.
+the exact same forward the model was trained with) followed by a
+``lax.scan`` greedy/temperature decode over a PREALLOCATED KV cache.
+All shapes are static: prompt length, cache capacity (P + max_new) and
+step count are compile-time constants, and per-row prompt lengths are
+handled by the attention mask + per-row write offsets, so one compile
+serves a whole right-padded batch. The single-token decode layers are
+pure-jnp twins of nn/qwen3vl.TextLayer reading the SAME param tree
+(the attention itself reuses ops/attention.gqa_attention, so decode
+numerics match prefill numerics — pinned by the greedy-vs-joint
+teacher-forcing test in tests/test_ref_generate.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+
+import jax
+import jax.numpy as jnp
+
+from wedetect_tpu.nn.qwen3vl import (RefCfg, _apply_rope,
+                                     interleaved_mrope_cos_sin)
+from wedetect_tpu.ops.attention import gqa_attention
+
+
+def _rms(x, scale, eps):
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * scale).astype(x.dtype)
+
+
+def _lm_logits(params, hidden):
+    """LM head: untied ['lm_head']['kernel'] when present (the
+    reference class adds an untied Linear), else the tied input
+    embedding — same contract as train/ref_lm."""
+    h = hidden.astype(jnp.float32)
+    if "lm_head" in params:
+        return h @ params["lm_head"]["kernel"].astype(jnp.float32)
+    emb = params["embed"]["embed_tokens"]["embedding"]
+    return h @ emb.T.astype(jnp.float32)
+
+
+def _decode_layer(p, cfg, x, cos, sin, cache_k, cache_v, write_at,
+                  kv_valid):
+    """One decoder layer for a single-token step.
+
+    x (B, 1, D); cache_k/v (B, C, KVH, HD) — this step's post-rope KV
+    is written at column ``write_at`` (same for every row: decode is
+    lockstep over the right-padded batch) and the query attends the
+    whole cache under ``kv_valid`` (B, C). Pure-jnp twin of
+    nn/qwen3vl.TextLayer reading its exact param tree."""
+    c = cfg
+    b = x.shape[0]
+    eps = c.rms_eps
+    y = _rms(x, p["input_ln"]["scale"], eps)
+    q = y @ p["q_proj"]["kernel"]
+    k = y @ p["k_proj"]["kernel"]
+    v = y @ p["v_proj"]["kernel"]
+    q = _rms(q.reshape(b, 1, c.heads, c.head_dim),
+             p["q_norm"]["scale"], eps)
+    k = _rms(k.reshape(b, 1, c.kv_heads, c.head_dim),
+             p["k_norm"]["scale"], eps)
+    v = v.reshape(b, 1, c.kv_heads, c.head_dim)
+    q, k = _apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+    cache_k = jax.lax.dynamic_update_slice(
+        cache_k, k.astype(cache_k.dtype), (0, write_at, 0, 0))
+    cache_v = jax.lax.dynamic_update_slice(
+        cache_v, v.astype(cache_v.dtype), (0, write_at, 0, 0))
+    o = gqa_attention(q, cache_k, cache_v, causal=False,
+                      kv_valid=kv_valid,
+                      sm_scale=1.0 / math.sqrt(c.head_dim),
+                      impl="einsum")
+    x = x + (o.reshape(b, 1, -1) @ p["o_proj"]["kernel"])
+    y = _rms(x, p["post_ln"]["scale"], eps)
+    gate = y @ p["gate_proj"]["kernel"]
+    up = y @ p["up_proj"]["kernel"]
+    return x + (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"], \
+        cache_k, cache_v
+
+
+def _sample(logits, temperature, rng):
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        rng, logits / temperature, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 1, 2, 8, 12, 13, 14, 15))
+def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
+                 patches, input_ids, attn_mask, position_ids,
+                 visual_start: int, next_pos, boxes_xyxy, ori_wh,
+                 max_new_tokens: int, eos_id: int,
+                 temperature: float = 0.0,
+                 pad_id: int = 0,
+                 object_positions=None, rng=None):
+    """Greedy / temperature generation from image-bearing prompts.
+
+    patches (S, Dp) one shared image; input_ids/attn_mask (B, P)
+    right-padded prompts; position_ids (3, B, P) MRoPE ids; next_pos
+    (B,) int32 — each row's first generated-token position (text
+    positions: all three MRoPE axes equal); boxes_xyxy (N, 4) +
+    object_positions (B, N) optionally thread grounding <object>
+    features into the prompt (None = caption-only: pass a dummy box,
+    reference qwen3vl_grounding.py:168-171 does the same). Returns
+    (B, max_new_tokens) int32 — eos is emitted, positions after it
+    hold pad_id.
+    """
+    from wedetect_tpu.models.ref import RefModules
+
+    c = cfg
+    b, p_len = input_ids.shape
+    if object_positions is None:
+        object_positions = jnp.full((b, 1), -1, jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    mod = RefModules(c, grid_h, grid_w)
+    hidden, kvs = mod.apply(
+        {"params": params}, patches, input_ids, attn_mask,
+        position_ids, boxes_xyxy, ori_wh, visual_start,
+        object_positions, method=_prefill_hidden_kvs)
+
+    # first token: sample at each row's last real prompt position
+    last = jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1   # (B,)
+    h_last = jnp.take_along_axis(
+        hidden, last[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    logits0 = _lm_logits(params, h_last)
+    rng, r0 = jax.random.split(rng)
+    tok0 = _sample(logits0, temperature, r0)
+
+    # --- decode: preallocate caches (B, P + max_new, KVH, HD)
+    caches = []
+    for (k, v) in kvs:
+        kc = jnp.concatenate(
+            [jnp.broadcast_to(k, (b,) + k.shape[1:]),
+             jnp.zeros((b, max_new_tokens) + k.shape[2:], k.dtype)],
+            axis=1)
+        vc = jnp.concatenate(
+            [jnp.broadcast_to(v, (b,) + v.shape[1:]),
+             jnp.zeros((b, max_new_tokens) + v.shape[2:], v.dtype)],
+            axis=1)
+        caches.append((kc, vc))
+
+    tp = params["text"]
+    emb_p = params["embed"]
+
+    def body(carry, t):
+        tok, done, caches, rng = carry
+        emitted = jnp.where(done, pad_id, tok)
+        done = done | (tok == eos_id)
+        x = emb_p["embed_tokens"]["embedding"][tok][:, None, :]
+        posr = (next_pos + t).astype(jnp.int32)            # (B,)
+        pos3 = jnp.broadcast_to(posr[None, :, None], (3, b, 1))
+        cos, sin = interleaved_mrope_cos_sin(pos3, c.text)
+        kv_valid = jnp.concatenate(
+            [attn_mask.astype(jnp.int32),
+             jnp.broadcast_to(
+                 (jnp.arange(max_new_tokens) <= t).astype(jnp.int32),
+                 (b, max_new_tokens))], axis=1)
+        new_caches = []
+        for i in range(c.text.layers):
+            kc, vc = caches[i]
+            x, kc, vc = _decode_layer(
+                tp[f"layer{i}"], c.text, x, cos, sin, kc, vc,
+                p_len + t, kv_valid)
+            new_caches.append((kc, vc))
+        h = _rms(x, tp["norm"]["scale"], c.text.rms_eps)[:, 0]
+        logits = _lm_logits(params, h)
+        rng, r = jax.random.split(rng)
+        nxt = _sample(logits, temperature, r)
+        nxt = jnp.where(done, tok, nxt)   # frozen rows stay put
+        return (nxt, done, new_caches, rng), emitted
+
+    done0 = jnp.zeros((b,), bool)
+    (_, _, _, _), toks = jax.lax.scan(
+        body, (tok0, done0, caches, rng),
+        jnp.arange(max_new_tokens, dtype=jnp.int32))
+    return toks.T                                    # (B, max_new)
+
+
+def _prefill_hidden_kvs(mod, patches, input_ids, attn_mask,
+                        position_ids, boxes_xyxy, ori_wh,
+                        visual_start, object_positions):
+    """RefModules method: the grounding prefill (identical embedding
+    assembly to train/ref_lm._hidden_states) returning BOTH the final
+    normed hidden states and the per-layer post-rope KV for the
+    decode cache."""
+    c = mod.cfg
+    m = c.vision.merge
+    mh, mw = mod.grid_h // m, mod.grid_w // m
+    d = c.text.hidden
+    img_embeds, taps = mod.vision(patches)
+    scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
+    scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
+    scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
+    s1, s2, s3 = mod.extras.build_pyramid(scale1, scale2, scale3)
+    norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
+                       jnp.float32)
+    ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
+    boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
+    obj = mod.extras.object_feats(s1, s2, s3, boxes_32)
+    img_tokens = img_embeds + mod.extras.image_pos(mh, mw)
+    x = mod.embed(input_ids)
+    b = x.shape[0]
+    x = jax.lax.dynamic_update_slice_in_dim(
+        x, jnp.broadcast_to(img_tokens[None].astype(x.dtype),
+                            (b,) + img_tokens.shape),
+        visual_start, axis=1)
+    bidx = jnp.arange(b)[:, None]
+    pos = jnp.clip(object_positions, 0)
+    cur = x[bidx, pos]
+    newv = jnp.where((object_positions >= 0)[..., None],
+                     jnp.broadcast_to(obj[None].astype(x.dtype),
+                                      (b,) + obj.shape), cur)
+    x = x.at[bidx, pos].set(newv)
+    kvs, hidden = mod.text.prefix_pass(
+        x, position_ids, attn_mask, deepstack_embeds=list(taps),
+        visual_start=visual_start, return_hidden=True)
+    return hidden, kvs

@@ -483,10 +483,13 @@ class TextModel(nn.Module):
                     prefix_mask,
                     deepstack_embeds: Optional[
                         Sequence[jax.Array]] = None,
-                    visual_start: int = 0):
+                    visual_start: int = 0,
+                    return_hidden: bool = False):
         """Run the (1, P, D) shared prefix through every layer and
         return the per-layer post-rope KV (tuple of (k, v), each
-        (1, P, kv_heads, head_dim)) for suffix_pass."""
+        (1, P, kv_heads, head_dim)) for suffix_pass. return_hidden=True
+        additionally returns the final NORMED hidden states (the
+        generation prefill needs them to sample the first token)."""
         cos_p, sin_p = interleaved_mrope_cos_sin(prefix_position_ids,
                                                  self.cfg)
         pvalid = prefix_mask.astype(jnp.int32)
@@ -498,6 +501,8 @@ class TextModel(nn.Module):
             if deepstack_embeds is not None and i < len(deepstack_embeds):
                 x = self._inject_deepstack(
                     x, deepstack_embeds[i], visual_start)
+        if return_hidden:
+            return tuple(kvs), self.norm(x)
         return tuple(kvs)
 
     def suffix_pass(self, kvs, suffix_embeds, suffix_position_ids,
