@@ -12,6 +12,21 @@ from __future__ import annotations
 import argparse
 
 
+def _run_generate(args, img):
+    """Caption/chat mode: the TPU twin of the reference stage-1/2
+    class's inherited HF .generate() (qwen3vl_grounding.py:311-379)."""
+    from wedetect_tpu.cli._ref_load import load_ref
+    from wedetect_tpu.models.ref_api import RefScorer
+
+    cfg, params, tok = load_ref(args.ref_checkpoint)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok)
+    text = scorer.generate_text(
+        img, args.generate, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        eos_token_id=tok.convert_tokens_to_ids("<|im_end|>"))
+    print(text)
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="WeDetect-Ref REC demo")
     p.add_argument("--ref_checkpoint", default="")
@@ -24,6 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--visualize", action="store_true")
     p.add_argument("--output", default="pred_ref.png")
     p.add_argument("--random-init", action="store_true")
+    p.add_argument("--generate", default="",
+                   help="chat/caption prompt: run text GENERATION "
+                        "instead of proposal scoring (stage-1/2 twin "
+                        "checkpoints; models/ref_generate)")
+    p.add_argument("--max_new_tokens", type=int, default=64)
+    p.add_argument("--temperature", type=float, default=0.0)
     return p.parse_args(argv)
 
 
@@ -34,9 +55,12 @@ def main(argv=None):
     from wedetect_tpu.data.loader import load_image_rgb
     from wedetect_tpu.models.api import Detector
     from wedetect_tpu.models.ref_api import RefScorer
-    from wedetect_tpu.nn.qwen3vl import RefCfg
 
     img = load_image_rgb(args.image)
+
+    if args.generate:
+        _run_generate(args, img)
+        return
 
     # stage 1: Uni proposals
     if args.random_init or not args.wedetect_uni_checkpoint:
@@ -49,32 +73,13 @@ def main(argv=None):
     print(f"{len(boxes)} proposals from WeDetect-Uni")
 
     # stage 2: Ref scoring
-    if args.random_init or not args.ref_checkpoint:
+    if args.random_init:
         raise SystemExit(
             "random-init Ref requires the full Qwen3-VL config; supply "
             "--ref_checkpoint (HF dir with config.json + weights)")
-    import transformers
+    from wedetect_tpu.cli._ref_load import load_ref
 
-    from wedetect_tpu.ckpt.convert_ref import convert_ref_model
-
-    hf_cfg = transformers.AutoConfig.from_pretrained(args.ref_checkpoint)
-    cfg = RefCfg.from_hf_config(hf_cfg)
-    tok = transformers.AutoTokenizer.from_pretrained(args.ref_checkpoint)
-    obj_id = tok.convert_tokens_to_ids("<object>")
-    cfg = type(cfg)(**{**cfg.__dict__, "object_token_id": obj_id})
-    import torch
-
-    sd = {}
-    from safetensors import safe_open  # type: ignore
-    import glob
-    import os
-
-    for f in sorted(glob.glob(os.path.join(args.ref_checkpoint,
-                                           "*.safetensors"))):
-        with safe_open(f, framework="np") as sf:
-            for k in sf.keys():
-                sd[k] = sf.get_tensor(k)
-    params = convert_ref_model(sd, cfg)
+    cfg, params, tok = load_ref(args.ref_checkpoint)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok)
     scores = scorer.score(img, boxes, [args.query])[0]
 
