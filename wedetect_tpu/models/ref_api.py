@@ -427,10 +427,20 @@ class RefScorer:
         pos = get_rope_index_single_image(
             ids, c.image_token_id, gh, gw, m)
         visual_start = int(np.nonzero(ids == c.image_token_id)[0][0])
+        # right-pad the prompt to a flash-tileable length (the mask
+        # keeps pad slots inert) so the prefill stays on the flash
+        # kernel and prompt-length jitter reuses one compile
+        p_real = len(ids)
+        p_pad = -(-p_real // 128) * 128
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        ids = np.pad(ids, (0, p_pad - p_real),
+                     constant_values=pad_token_id)
+        pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
         toks = np.asarray(ref_generate(
             c, gh, gw, self.params, jnp.asarray(patches),
             jnp.asarray(ids[None].astype(np.int32)),
-            jnp.asarray(np.ones((1, len(ids)), np.int32)),
+            jnp.asarray(mask[None]),
             jnp.asarray(pos[:, None].astype(np.int32)), visual_start,
             jnp.asarray(np.array([pos.max() + 1], np.int32)),
             jnp.asarray(np.array([[0, 0, w, h]], np.float32)),
