@@ -228,3 +228,33 @@ def test_generate_text(tiny, monkeypatch):
                                pad_token_id=0)
     assert isinstance(out, list) and len(out) <= 4
     assert all(0 <= t < cfg.text.vocab_size for t in out)
+
+
+def test_score_multi_images_prefix_sharing(tiny, monkeypatch):
+    """Multi-image prefix-sharing factoring equals the joint path."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(int(img[0, 0, 0]) + 1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    common = dict(cfg=cfg, params=params, tokenizer=FakeTok(),
+                  seq_buckets=(256, 512), query_batch=2,
+                  max_proposals=3, device_patchify=False,
+                  suffix_buckets=(64, 128))
+    imgs = [np.full((64, 64, 3), v, np.uint8) for v in (0, 1)]
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 60]], np.float32)
+    props2 = np.array([[5, 20, 40, 64]], np.float32)
+    queries = ["red box", "dog", "cat"]
+    joint = RefScorer(prefix_sharing=False, **common)
+    split = RefScorer(prefix_sharing=True, **common)
+    a = joint.score_multi_images(imgs, [props, props2], queries,
+                                 pad_token_id=0)
+    b = split.score_multi_images(imgs, [props, props2], queries,
+                                 pad_token_id=0)
+    assert len(a) == len(b) == 2
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(y, x, rtol=1e-4, atol=1e-5)

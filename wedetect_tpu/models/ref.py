@@ -412,6 +412,35 @@ class RefModules(nn.Module):
         logits = self.extras.score(hidden)           # (B, S)
         return jnp.take_along_axis(logits, pos, axis=1)
 
+    def prefix_stage_multi(self, patches_list, grids, prefix_ids,
+                           prefix_mask, prefix_position_ids,
+                           boxes_list, ori_wh_list, visual_starts):
+        """Multi-image twin of prefix_stage: every image lives in the
+        shared prefix, so prefix sharing factors identically — the
+        prefix (with ALL vision spans + multi-span deepstack) runs the
+        decoder once, per-query suffixes attend its KV. Returns
+        (obj (N_total, D), kvs)."""
+        tokens, taps_all, objs = [], [], []
+        for patches_i, (gh, gw), boxes_i, ori_i in zip(
+                patches_list, grids, boxes_list, ori_wh_list):
+            img_tokens, taps, scales = self._vision_one(
+                patches_i, gh, gw)
+            tokens.append(img_tokens)
+            taps_all.append(taps)
+            if boxes_i is not None:
+                objs.append(self._objects_from(scales, boxes_i, ori_i))
+        obj = jnp.concatenate(objs, axis=0)
+        xp = self.embed(prefix_ids)                  # (1, P, D)
+        for tok, vs in zip(tokens, visual_starts):
+            xp = jax.lax.dynamic_update_slice_in_dim(
+                xp, tok[None].astype(xp.dtype), vs, axis=1)
+        ds = [tuple(taps[i] for taps in taps_all)
+              for i in range(len(taps_all[0]))]
+        kvs = self.text.prefix_pass(
+            xp, prefix_position_ids, prefix_mask,
+            deepstack_embeds=ds, visual_start=tuple(visual_starts))
+        return obj, kvs
+
     def prefix_stage(self, patches, prefix_ids, prefix_mask,
                      prefix_position_ids, boxes_xyxy, ori_wh,
                      visual_start: int):
@@ -485,6 +514,23 @@ def ref_score_step_multi(cfg: RefCfg, grids, params, patches_list,
         input_ids, attn_mask, position_ids, tuple(boxes_list),
         tuple(ori_wh_list), tuple(visual_starts), object_positions,
         method="score_multi")
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 9, 10, 11))
+def ref_prefix_step_multi(cfg: RefCfg, grids, params, patches_list,
+                          prefix_ids, prefix_mask,
+                          prefix_position_ids, boxes_list,
+                          ori_wh_list, visual_starts,
+                          dtype=jnp.float32, attn_impl: str = "auto"):
+    """Jitted multi-image image-level stage: (obj, kvs) for
+    ref_suffix_step — all images' vision + RoI + the joint prefix
+    computed once, reused across query batches."""
+    return RefModules(cfg, grids[0][0], grids[0][1], dtype=dtype,
+                      attn_impl=attn_impl).apply(
+        {"params": params}, tuple(patches_list), tuple(grids),
+        prefix_ids, prefix_mask, prefix_position_ids,
+        tuple(boxes_list), tuple(ori_wh_list), tuple(visual_starts),
+        method="prefix_stage_multi")
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 10, 11, 12))

@@ -372,27 +372,84 @@ class RefScorer:
         for n in n_imgs:
             starts.append(int(img_pos[off]))
             off += n
-        obj_pos = np.stack([
-            np.nonzero(s == c.object_token_id)[0][:n_total]
-            for s in seqs]).astype(np.int32)
         from wedetect_tpu.nn.qwen3vl import get_rope_index_multi
-        pos = np.stack([
-            np.pad(get_rope_index_multi(
-                s, c.image_token_id, tuple(grids), m),
-                ((0, 0), (0, l - len(s))))
-            for s in seqs], axis=1).astype(np.int32)   # (3, Q, L)
 
-        out = self._dispatch_batches(
-            len(seqs), n_total, ids, mask, pos, obj_pos,
-            lambda idsb, maskb, posb, objb: ref_score_step_multi(
-                c, tuple(grids), self.params, tuple(patches_list),
-                jnp.asarray(idsb), jnp.asarray(maskb),
-                jnp.asarray(posb), tuple(boxes_list), tuple(ori_list),
-                tuple(starts), jnp.asarray(objb), self._jnp_dtype(),
-                self.attn_impl))
+        if self.prefix_sharing:
+            out = self._score_multi_split(
+                patches_list, grids, boxes_list, ori_list, starts,
+                prefix, n_total, queries, pad_token_id)
+        else:
+            obj_pos = np.stack([
+                np.nonzero(s == c.object_token_id)[0][:n_total]
+                for s in seqs]).astype(np.int32)
+            pos = np.stack([
+                np.pad(get_rope_index_multi(
+                    s, c.image_token_id, tuple(grids), m),
+                    ((0, 0), (0, l - len(s))))
+                for s in seqs], axis=1).astype(np.int32)   # (3, Q, L)
+
+            out = self._dispatch_batches(
+                len(seqs), n_total, ids, mask, pos, obj_pos,
+                lambda idsb, maskb, posb, objb: ref_score_step_multi(
+                    c, tuple(grids), self.params, tuple(patches_list),
+                    jnp.asarray(idsb), jnp.asarray(maskb),
+                    jnp.asarray(posb), tuple(boxes_list),
+                    tuple(ori_list), tuple(starts), jnp.asarray(objb),
+                    self._jnp_dtype(), self.attn_impl))
         scores = 1.0 / (1.0 + np.exp(-out))
         return [scores[:, i * n_pad:i * n_pad + n]
                 for i, n in enumerate(n_real)]
+
+    def _score_multi_split(self, patches_list, grids, boxes_list,
+                           ori_list, starts, prefix, n_total, queries,
+                           pad_token_id):
+        """Prefix-sharing factoring of the multi-image conversation:
+        every image lives in the shared prefix, so ONE
+        ref_prefix_step_multi covers all images' vision + RoI + the
+        joint prefix pass; per-query suffixes ride ref_suffix_step."""
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.ref import (ref_prefix_step_multi,
+                                             ref_suffix_step)
+        from wedetect_tpu.nn.qwen3vl import get_rope_index_multi
+
+        c = self.cfg
+        m = c.vision.merge
+        p_real = len(prefix)
+        p_pad = -(-p_real // 128) * 128
+        prefix_ids = np.full((1, p_pad), pad_token_id, np.int32)
+        prefix_ids[0, :p_real] = prefix
+        pmask = np.zeros((1, p_pad), np.int32)
+        pmask[0, :p_real] = 1
+        ppos = np.zeros((3, 1, p_pad), np.int32)
+        prefix_pos = get_rope_index_multi(
+            prefix, c.image_token_id, tuple(grids), m)
+        ppos[:, 0, :p_real] = prefix_pos
+        next_pos = int(prefix_pos.max()) + 1
+
+        sufs = [self.build_suffix(q, n_total) for q in queries]
+        s_pad = pad_to_bucket(max(len(s) for s in sufs),
+                              self.suffix_buckets)
+        suffix_ids, suffix_mask, obj_pos = self._pack_suffixes(
+            sufs, s_pad, n_total, pad_token_id)
+        nq = len(sufs)
+        pos_suffix = np.broadcast_to(
+            (next_pos + np.arange(s_pad, dtype=np.int32))[None, None],
+            (3, nq, s_pad)).copy()
+
+        pmask_j = jnp.asarray(pmask)
+        obj, kvs = ref_prefix_step_multi(
+            c, tuple(grids), self.params, tuple(patches_list),
+            jnp.asarray(prefix_ids), pmask_j, jnp.asarray(ppos),
+            tuple(boxes_list), tuple(ori_list), tuple(starts),
+            self._jnp_dtype(), self.attn_impl)
+        return self._dispatch_batches(
+            nq, n_total, suffix_ids, suffix_mask, pos_suffix, obj_pos,
+            lambda idsb, maskb, posb, objb: ref_suffix_step(
+                c, grids[0][0], grids[0][1], self.params, obj, kvs,
+                jnp.asarray(idsb), jnp.asarray(maskb),
+                jnp.asarray(posb), pmask_j, jnp.asarray(objb),
+                self._jnp_dtype(), self.attn_impl))
 
     def generate_text(self, image: np.ndarray, prompt: str,
                       max_new_tokens: int = 64,
