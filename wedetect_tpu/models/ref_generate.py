@@ -64,10 +64,12 @@ def _decode_layer(p, cfg, x, cos, sin, cache_k, cache_v, write_at,
     c = cfg
     b = x.shape[0]
     eps = c.rms_eps
+    dt = x.dtype      # compute dtype (flax Dense(dtype=...) semantics:
+    #                   params are cast to the compute dtype)
     y = _rms(x, p["input_ln"]["scale"], eps)
-    q = y @ p["q_proj"]["kernel"]
-    k = y @ p["k_proj"]["kernel"]
-    v = y @ p["v_proj"]["kernel"]
+    q = y @ p["q_proj"]["kernel"].astype(dt)
+    k = y @ p["k_proj"]["kernel"].astype(dt)
+    v = y @ p["v_proj"]["kernel"].astype(dt)
     q = _rms(q.reshape(b, 1, c.heads, c.head_dim),
              p["q_norm"]["scale"], eps)
     k = _rms(k.reshape(b, 1, c.kv_heads, c.head_dim),
@@ -82,11 +84,12 @@ def _decode_layer(p, cfg, x, cos, sin, cache_k, cache_v, write_at,
                       kv_valid=kv_valid,
                       sm_scale=1.0 / math.sqrt(c.head_dim),
                       impl="einsum")
-    x = x + (o.reshape(b, 1, -1) @ p["o_proj"]["kernel"])
+    x = x + (o.astype(dt).reshape(b, 1, -1)
+             @ p["o_proj"]["kernel"].astype(dt))
     y = _rms(x, p["post_ln"]["scale"], eps)
-    gate = y @ p["gate_proj"]["kernel"]
-    up = y @ p["up_proj"]["kernel"]
-    return x + (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"], \
+    gate = y @ p["gate_proj"]["kernel"].astype(dt)
+    up = y @ p["up_proj"]["kernel"].astype(dt)
+    return x + (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"].astype(dt), \
         cache_k, cache_v
 
 
@@ -99,14 +102,15 @@ def _sample(logits, temperature, rng):
 
 @functools.partial(
     jax.jit,
-    static_argnums=(0, 1, 2, 8, 12, 13, 14, 15))
+    static_argnums=(0, 1, 2, 8, 12, 13, 14, 15, 18))
 def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
                  patches, input_ids, attn_mask, position_ids,
                  visual_start: int, next_pos, boxes_xyxy, ori_wh,
                  max_new_tokens: int, eos_id: int,
                  temperature: float = 0.0,
                  pad_id: int = 0,
-                 object_positions=None, rng=None):
+                 object_positions=None, rng=None,
+                 dtype=jnp.float32):
     """Greedy / temperature generation from image-bearing prompts.
 
     patches (S, Dp) one shared image; input_ids/attn_mask (B, P)
@@ -128,7 +132,7 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    mod = RefModules(c, grid_h, grid_w)
+    mod = RefModules(c, grid_h, grid_w, dtype=dtype)
     hidden, kvs = mod.apply(
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
@@ -163,6 +167,7 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
         emitted = jnp.where(done, pad_id, tok)
         done = done | (tok == eos_id)
         x = emb_p["embed_tokens"]["embedding"][tok][:, None, :]
+        x = x.astype(dtype)
         posr = (next_pos + t).astype(jnp.int32)            # (B,)
         pos3 = jnp.broadcast_to(posr[None, :, None], (3, b, 1))
         cos, sin = interleaved_mrope_cos_sin(pos3, c.text)
