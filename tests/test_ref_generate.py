@@ -229,10 +229,9 @@ def test_generate_matches_reference_hf():
 
 
 def test_generate_bfloat16():
-    """dtype=bfloat16 decode runs and greedy tokens match the f32
-    path on a well-separated tiny model (bf16 rounding rarely flips a
-    confident argmax at this scale; checked exactly here with a fixed
-    seed)."""
+    """dtype=bfloat16 decode with bf16-cast params runs end-to-end
+    and emits valid tokens (argmax may legitimately differ from f32
+    under bf16 rounding, so only shape/validity is pinned)."""
     cfg = tiny_cfg()
     gh = gw = 8
     rng = np.random.default_rng(4)
@@ -262,3 +261,62 @@ def test_generate_bfloat16():
                                   eos_id=95, dtype=jnp.bfloat16))
     assert b16.shape == f32.shape
     assert ((b16 >= 0) & (b16 < cfg.text.vocab_size)).all()
+
+
+def test_generate_multi_image_matches_single():
+    """ref_generate_multi on a 1-image layout reproduces ref_generate
+    exactly; a 2-image prompt decodes valid tokens."""
+    from wedetect_tpu.models.ref_generate import ref_generate_multi
+    from wedetect_tpu.nn.qwen3vl import get_rope_index_multi
+
+    cfg = tiny_cfg()
+    gh = gw = 8
+    rng = np.random.default_rng(6)
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    ids = ids0[None]
+    mask = np.ones((1, len(ids0)), np.int32)
+    pos = pos0[:, None]
+    boxes = np.array([[0, 0, 64, 64]], np.float32)
+    ori = np.array([64.0, 64.0], np.float32)
+    mod = RefModules(cfg, gh, gw)
+    variables = mod.init(
+        jax.random.PRNGKey(0), jnp.asarray(patches), jnp.asarray(ids),
+        jnp.asarray(mask), jnp.asarray(pos), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.zeros((1, 1), jnp.int32))
+    params = variables["params"]
+    next_pos = jnp.asarray(np.array([pos0.max() + 1], np.int32))
+    single = np.asarray(ref_generate(
+        cfg, gh, gw, params, jnp.asarray(patches), jnp.asarray(ids),
+        jnp.asarray(mask), jnp.asarray(pos), 2, next_pos,
+        jnp.asarray(boxes), jnp.asarray(ori), 5, eos_id=95))
+    multi = np.asarray(ref_generate_multi(
+        cfg, ((gh, gw),), params, (jnp.asarray(patches),),
+        jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pos),
+        (jnp.asarray(boxes),), (jnp.asarray(ori),), (2,), next_pos,
+        5, eos_id=95))
+    np.testing.assert_array_equal(multi, single)
+
+    # 2-image prompt (different grids), caption-only
+    g2 = (4, 8)
+    p2 = rng.standard_normal(
+        (g2[0] * g2[1], 3 * 2 * 4 * 4)).astype(np.float32)
+    n0, n1 = 16, (g2[0] // 2) * (g2[1] // 2)
+    ids2 = np.concatenate([[1, 91], np.full(n0, 90), [7, 91],
+                           np.full(n1, 90),
+                           rng.integers(2, 80, 3)]).astype(np.int32)
+    pos2 = get_rope_index_multi(ids2, 90, ((gh, gw), g2), 2)
+    toks = np.asarray(ref_generate_multi(
+        cfg, ((gh, gw), g2), params,
+        (jnp.asarray(patches), jnp.asarray(p2)),
+        jnp.asarray(ids2[None]), jnp.ones((1, len(ids2)), jnp.int32),
+        jnp.asarray(pos2[:, None].astype(np.int32)),
+        (jnp.asarray(boxes), None),
+        (jnp.asarray(ori),
+         jnp.asarray(np.array([32.0, 16.0], np.float32))),
+        (2, 2 + n0 + 2),
+        jnp.asarray(np.array([pos2.max() + 1], np.int32)), 5,
+        eos_id=95))
+    assert toks.shape == (1, 5)
+    assert ((toks >= 0) & (toks < cfg.text.vocab_size)).all()

@@ -137,8 +137,51 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions, method=_prefill_hidden_kvs)
+    return _decode_from_prefill(c, params, hidden, kvs, attn_mask,
+                                next_pos, max_new_tokens, eos_id,
+                                temperature, pad_id, rng, dtype)
 
-    # first token: sample at each row's last real prompt position
+
+@functools.partial(
+    jax.jit,
+    static_argnums=(0, 1, 9, 11, 12, 13, 14, 17))
+def ref_generate_multi(cfg: RefCfg, grids, params, patches_list,
+                       input_ids, attn_mask, position_ids,
+                       boxes_list, ori_wh_list, visual_starts,
+                       next_pos, max_new_tokens: int, eos_id: int,
+                       temperature: float = 0.0, pad_id: int = 0,
+                       object_positions=None, rng=None,
+                       dtype=jnp.float32):
+    """ref_generate for prompts holding SEVERAL images (static
+    per-image grids + span offsets, arguments as in
+    models/ref.ref_score_step_multi). boxes_list entries may be None;
+    object_positions=None for caption-only prompts."""
+    from wedetect_tpu.models.ref import RefModules
+
+    c = cfg
+    b = input_ids.shape[0]
+    if object_positions is None:
+        object_positions = jnp.full((b, 1), -1, jnp.int32)
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    mod = RefModules(c, grids[0][0], grids[0][1], dtype=dtype)
+    hidden, kvs = mod.apply(
+        {"params": params}, tuple(patches_list), tuple(grids),
+        input_ids, attn_mask, position_ids, tuple(boxes_list),
+        tuple(ori_wh_list), tuple(visual_starts), object_positions,
+        method=_prefill_hidden_kvs_multi)
+    return _decode_from_prefill(c, params, hidden, kvs, attn_mask,
+                                next_pos, max_new_tokens, eos_id,
+                                temperature, pad_id, rng, dtype)
+
+
+def _decode_from_prefill(c, params, hidden, kvs, attn_mask, next_pos,
+                         max_new_tokens, eos_id, temperature, pad_id,
+                         rng, dtype):
+    """Shared decode: sample the first token at each row's last real
+    prompt position, then lax.scan single-token steps over the
+    preallocated KV cache."""
+    b, p_len = attn_mask.shape
     last = jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1   # (B,)
     h_last = jnp.take_along_axis(
         hidden, last[:, None, None].astype(jnp.int32), axis=1)[:, 0]
@@ -146,7 +189,7 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
     rng, r0 = jax.random.split(rng)
     tok0 = _sample(logits0, temperature, r0)
 
-    # --- decode: preallocate caches (B, P + max_new, KVH, HD)
+    # preallocate caches (B, P + max_new, KVH, HD)
     caches = []
     for (k, v) in kvs:
         kc = jnp.concatenate(
@@ -195,6 +238,43 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
         body, (tok0, done0, caches, rng),
         jnp.arange(max_new_tokens, dtype=jnp.int32))
     return toks.T                                    # (B, max_new)
+
+
+def _prefill_hidden_kvs_multi(mod, patches_list, grids, input_ids,
+                              attn_mask, position_ids, boxes_list,
+                              ori_wh_list, visual_starts,
+                              object_positions):
+    """Multi-image twin of _prefill_hidden_kvs: score_multi's
+    embedding assembly + prefix_pass(return_hidden=True)."""
+    tokens, taps_all, objs = [], [], []
+    for patches_i, (gh, gw), boxes_i, ori_i in zip(
+            patches_list, grids, boxes_list, ori_wh_list):
+        img_tokens, taps, scales = mod._vision_one(patches_i, gh, gw)
+        tokens.append(img_tokens)
+        taps_all.append(taps)
+        if boxes_i is not None:
+            objs.append(mod._objects_from(scales, boxes_i, ori_i))
+    x = mod.embed(input_ids)
+    b = x.shape[0]
+    for tok, vs in zip(tokens, visual_starts):
+        x = jax.lax.dynamic_update_slice_in_dim(
+            x, jnp.broadcast_to(tok[None].astype(x.dtype),
+                                (b,) + tok.shape), vs, axis=1)
+    if objs:
+        obj = jnp.concatenate(objs, axis=0)
+        bidx = jnp.arange(b)[:, None]
+        pos = jnp.clip(object_positions, 0)
+        cur = x[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(x.dtype),
+                                          (b,) + obj.shape), cur)
+        x = x.at[bidx, pos].set(newv)
+    ds = [tuple(taps[i] for taps in taps_all)
+          for i in range(len(taps_all[0]))]
+    kvs, hidden = mod.text.prefix_pass(
+        x, position_ids, attn_mask, deepstack_embeds=ds,
+        visual_start=tuple(visual_starts), return_hidden=True)
+    return hidden, kvs
 
 
 def _prefill_hidden_kvs(mod, patches, input_ids, attn_mask,
