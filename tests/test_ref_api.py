@@ -229,6 +229,20 @@ def test_generate_text(tiny, monkeypatch):
     assert isinstance(out, list) and len(out) <= 4
     assert all(0 <= t < cfg.text.vocab_size for t in out)
 
+    # the DEFAULT device_patchify=True path ships raw uint8 pixels
+    # into the prefill (regression: the prefill must carry the
+    # pixels_to_patches guard like every other vision entry point)
+    def fake_pixels(img, **kw):
+        return np.zeros((32, 32, 3), np.uint8), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_pixels", fake_pixels)
+    scorer2 = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                        max_proposals=3)
+    out2 = scorer2.generate_text(img, "describe the image",
+                                 max_new_tokens=4, eos_token_id=95,
+                                 pad_token_id=0)
+    assert isinstance(out2, list) and len(out2) <= 4
+
 
 def test_score_multi_images_prefix_sharing(tiny, monkeypatch):
     """Multi-image prefix-sharing factoring equals the joint path."""
@@ -258,3 +272,27 @@ def test_score_multi_images_prefix_sharing(tiny, monkeypatch):
     assert len(a) == len(b) == 2
     for x, y in zip(a, b):
         np.testing.assert_allclose(y, x, rtol=1e-4, atol=1e-5)
+
+
+def test_score_multi_images_all_context(tiny, monkeypatch):
+    """Every image context-only (all proposals None) must not crash
+    (empty object concat) and returns no score blocks."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(int(img[0, 0, 0]) + 1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    for sharing in (False, True):
+        scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                           seq_buckets=(256,), max_proposals=3,
+                           device_patchify=False,
+                           suffix_buckets=(64,),
+                           prefix_sharing=sharing)
+        imgs = [np.full((64, 64, 3), v, np.uint8) for v in (0, 1)]
+        out = scorer.score_multi_images(imgs, [None, None], ["a"],
+                                        pad_token_id=0)
+        assert out == []

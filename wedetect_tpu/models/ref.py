@@ -317,6 +317,44 @@ class RefModules(nn.Module):
         boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
         return self.extras.object_feats(s1, s2, s3, boxes_32)
 
+    def _multi_assembly(self, patches_list, grids, boxes_list,
+                        ori_wh_list):
+        """Shared per-image loop for every multi-image entry point:
+        vision towers at per-image grids, optional RoI object
+        features, and the per-layer deepstack regroup. Returns
+        (tokens list, ds per-layer tuples, obj (N_total, D) — empty
+        (0, D) when no image carries boxes)."""
+        tokens, taps_all, objs = [], [], []
+        for patches_i, (gh, gw), boxes_i, ori_i in zip(
+                patches_list, grids, boxes_list, ori_wh_list):
+            img_tokens, taps, scales = self._vision_one(
+                patches_i, gh, gw)
+            tokens.append(img_tokens)
+            taps_all.append(taps)
+            if boxes_i is not None:
+                objs.append(self._objects_from(scales, boxes_i, ori_i))
+        obj = (jnp.concatenate(objs, axis=0) if objs
+               else jnp.zeros((0, self.cfg.text.hidden),
+                              tokens[0].dtype))
+        ds = [tuple(taps[i] for taps in taps_all)
+              for i in range(len(taps_all[0]))]
+        return tokens, ds, obj
+
+    def _scatter_objects(self, x, obj, object_positions):
+        """Write object features into the <object> slots (-1 = padded
+        slot keeps the original token embedding). No-op for empty
+        obj/positions (caption-only sequences)."""
+        if object_positions.shape[1] == 0 or obj.shape[0] == 0:
+            return x
+        b = x.shape[0]
+        bidx = jnp.arange(b)[:, None]
+        pos = jnp.clip(object_positions, 0)
+        cur = x[bidx, pos]
+        newv = jnp.where((object_positions >= 0)[..., None],
+                         jnp.broadcast_to(obj[None].astype(x.dtype),
+                                          (b,) + obj.shape), cur)
+        return x.at[bidx, pos].set(newv)
+
     def score_multi(self, patches_list, grids, input_ids, attn_mask,
                     position_ids, boxes_list, ori_wh_list,
                     visual_starts, object_positions):
@@ -337,38 +375,22 @@ class RefModules(nn.Module):
         per-image (2,) (width, height). object_positions: (B, N_total)
         with N_total = sum N_i, indexing <object> slots in image order
         (-1 = padded slot). Returns (B, N_total) logits."""
-        tokens, taps_all, objs = [], [], []
-        for patches_i, (gh, gw), boxes_i, ori_i in zip(
-                patches_list, grids, boxes_list, ori_wh_list):
-            img_tokens, taps, scales = self._vision_one(
-                patches_i, gh, gw)
-            tokens.append(img_tokens)
-            taps_all.append(taps)
-            if boxes_i is not None:
-                objs.append(self._objects_from(scales, boxes_i, ori_i))
-        obj = jnp.concatenate(objs, axis=0)           # (N_total, D)
-
+        tokens, ds, obj = self._multi_assembly(
+            patches_list, grids, boxes_list, ori_wh_list)
         x = self.embed(input_ids)                     # (B, L, D)
         b = x.shape[0]
         for tok, vs in zip(tokens, visual_starts):
             x = jax.lax.dynamic_update_slice_in_dim(
                 x, jnp.broadcast_to(tok[None].astype(x.dtype),
                                     (b,) + tok.shape), vs, axis=1)
-        bidx = jnp.arange(b)[:, None]
-        pos = jnp.clip(object_positions, 0)
-        cur = x[bidx, pos]
-        newv = jnp.where((object_positions >= 0)[..., None],
-                         jnp.broadcast_to(obj[None].astype(x.dtype),
-                                          (b,) + obj.shape), cur)
-        x = x.at[bidx, pos].set(newv)
-
-        ds = [tuple(taps[i] for taps in taps_all)
-              for i in range(len(taps_all[0]))]
+        x = self._scatter_objects(x, obj, object_positions)
         hidden = self.text(x, position_ids, attn_mask,
                            deepstack_embeds=ds,
                            visual_start=tuple(visual_starts))
         logits = self.extras.score(hidden)            # (B, L)
-        return jnp.take_along_axis(logits, pos, axis=1)
+        return jnp.take_along_axis(logits,
+                                   jnp.clip(object_positions, 0),
+                                   axis=1)
 
     def prefill_split(self, patches, prefix_ids, suffix_ids,
                       prefix_mask, suffix_mask, prefix_position_ids,
@@ -420,22 +442,12 @@ class RefModules(nn.Module):
         prefix (with ALL vision spans + multi-span deepstack) runs the
         decoder once, per-query suffixes attend its KV. Returns
         (obj (N_total, D), kvs)."""
-        tokens, taps_all, objs = [], [], []
-        for patches_i, (gh, gw), boxes_i, ori_i in zip(
-                patches_list, grids, boxes_list, ori_wh_list):
-            img_tokens, taps, scales = self._vision_one(
-                patches_i, gh, gw)
-            tokens.append(img_tokens)
-            taps_all.append(taps)
-            if boxes_i is not None:
-                objs.append(self._objects_from(scales, boxes_i, ori_i))
-        obj = jnp.concatenate(objs, axis=0)
+        tokens, ds, obj = self._multi_assembly(
+            patches_list, grids, boxes_list, ori_wh_list)
         xp = self.embed(prefix_ids)                  # (1, P, D)
         for tok, vs in zip(tokens, visual_starts):
             xp = jax.lax.dynamic_update_slice_in_dim(
                 xp, tok[None].astype(xp.dtype), vs, axis=1)
-        ds = [tuple(taps[i] for taps in taps_all)
-              for i in range(len(taps_all[0]))]
         kvs = self.text.prefix_pass(
             xp, prefix_position_ids, prefix_mask,
             deepstack_embeds=ds, visual_start=tuple(visual_starts))

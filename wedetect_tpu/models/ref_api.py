@@ -24,6 +24,12 @@ from wedetect_tpu.nn.qwen3vl import RefCfg, get_rope_index_single_image
 QUERY_TEMPLATE = 'Please detect the "%s" in the image'
 
 
+def _drain_rec(out, fut, rows):
+    logits = np.asarray(fut)
+    for i, s in enumerate(rows):
+        out[s["idx"]] = 1.0 / (1.0 + np.exp(-logits[i, :s["n"]]))
+
+
 def pad_to_bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -55,6 +61,10 @@ class RefScorer:
     # — 8x fewer host->device bytes than pre-extracted f32 patches
     # (6 f32 values per pixel channel vs 1 byte), identical numbers
     device_patchify: bool = True
+    # max in-flight dispatched batches before readbacks start: deep
+    # enough to hide transport round trips, bounded so long runs don't
+    # queue unbounded device input buffers
+    dispatch_window: int = 4
 
     def __post_init__(self):
         # fail LOUDLY at construction on a mis-sized bucket: a kv
@@ -255,13 +265,19 @@ class RefScorer:
                           step_fn):
         """Run step_fn over query_batch-sized row groups; the final
         partial group is padded by replicating its first row (padded
-        rows are sliced off the output). All groups DISPATCH before
-        any result is read back — jax dispatch is async, so device
-        work and host->device transfers of later groups overlap the
-        readback round-trips of earlier ones."""
+        rows are sliced off the output). Groups dispatch AHEAD of the
+        readbacks (jax dispatch is async) with a bounded in-flight
+        window, so later groups' host prep + H2D overlap earlier
+        groups' device time and readback round-trips without queueing
+        unbounded device buffers on long runs."""
         out = np.zeros((nq, n_pad), np.float32)
         bsz = self.query_batch
         futs = []
+
+        def drain_one():
+            sl, rows, fut = futs.pop(0)
+            out[sl] = np.asarray(fut)[:rows]
+
         for st in range(0, nq, bsz):
             en = min(st + bsz, nq)
             pad_rows = bsz - (en - st)
@@ -276,8 +292,10 @@ class RefScorer:
                                   + [obj_pos[st:st + 1]] * pad_rows)
             futs.append((sl, en - st,
                          step_fn(idsb, maskb, posb, objb)))
-        for sl, rows, fut in futs:
-            out[sl] = np.asarray(fut)[:rows]
+            if len(futs) > self.dispatch_window:
+                drain_one()
+        while futs:
+            drain_one()
         return out
 
     def _score_split(self, patches, gh, gw, proposals, n, n_pad,
@@ -357,16 +375,6 @@ class RefScorer:
         m = c.vision.merge
         n_imgs = [(gh // m) * (gw // m) for gh, gw in grids]
         prefix = self.build_prefix_multi(n_imgs)
-        seqs = [np.concatenate([prefix,
-                                self.build_suffix(q, n_total)])
-                for q in queries]
-        max_len = max(len(s) for s in seqs)
-        l = pad_to_bucket(max_len, self.seq_buckets)
-        ids = np.full((len(seqs), l), pad_token_id, np.int32)
-        mask = np.zeros((len(seqs), l), np.int32)
-        for i, s in enumerate(seqs):
-            ids[i, :len(s)] = s
-            mask[i, :len(s)] = 1
         img_pos = np.nonzero(prefix == c.image_token_id)[0]
         starts, off = [], 0
         for n in n_imgs:
@@ -379,6 +387,16 @@ class RefScorer:
                 patches_list, grids, boxes_list, ori_list, starts,
                 prefix, n_total, queries, pad_token_id)
         else:
+            seqs = [np.concatenate([prefix,
+                                    self.build_suffix(q, n_total)])
+                    for q in queries]
+            max_len = max(len(s) for s in seqs)
+            l = pad_to_bucket(max_len, self.seq_buckets)
+            ids = np.full((len(seqs), l), pad_token_id, np.int32)
+            mask = np.zeros((len(seqs), l), np.int32)
+            for i, s in enumerate(seqs):
+                ids[i, :len(s)] = s
+                mask[i, :len(s)] = 1
             obj_pos = np.stack([
                 np.nonzero(s == c.object_token_id)[0][:n_total]
                 for s in seqs]).astype(np.int32)
@@ -581,12 +599,12 @@ class RefScorer:
                     jnp.asarray(sids), jnp.asarray(smask),
                     jnp.asarray(spos), jnp.asarray(objp))
                 futs.append((fut, grp[st:st + bsz]))
-        # every chunk is dispatched before any readback (async jax
-        # dispatch): later chunks' host prep + H2D overlap earlier
-        # chunks' device time and readback round-trips
-        for fut, rows in futs:
-            logits = np.asarray(fut)
-            for i, s in enumerate(rows):
-                out[s["idx"]] = 1.0 / (1.0 + np.exp(
-                    -logits[i, :s["n"]]))
+                if len(futs) > self.dispatch_window:
+                    _drain_rec(out, *futs.pop(0))
+        # chunks dispatch ahead of readbacks (async jax dispatch) with
+        # a bounded in-flight window: later chunks' host prep + H2D
+        # overlap earlier chunks' device time and readback round trips
+        # without queueing unbounded device buffers on long shards
+        while futs:
+            _drain_rec(out, *futs.pop(0))
         return out

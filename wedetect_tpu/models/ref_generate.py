@@ -246,31 +246,15 @@ def _prefill_hidden_kvs_multi(mod, patches_list, grids, input_ids,
                               object_positions):
     """Multi-image twin of _prefill_hidden_kvs: score_multi's
     embedding assembly + prefix_pass(return_hidden=True)."""
-    tokens, taps_all, objs = [], [], []
-    for patches_i, (gh, gw), boxes_i, ori_i in zip(
-            patches_list, grids, boxes_list, ori_wh_list):
-        img_tokens, taps, scales = mod._vision_one(patches_i, gh, gw)
-        tokens.append(img_tokens)
-        taps_all.append(taps)
-        if boxes_i is not None:
-            objs.append(mod._objects_from(scales, boxes_i, ori_i))
+    tokens, ds, obj = mod._multi_assembly(
+        patches_list, grids, boxes_list, ori_wh_list)
     x = mod.embed(input_ids)
     b = x.shape[0]
     for tok, vs in zip(tokens, visual_starts):
         x = jax.lax.dynamic_update_slice_in_dim(
             x, jnp.broadcast_to(tok[None].astype(x.dtype),
                                 (b,) + tok.shape), vs, axis=1)
-    if objs:
-        obj = jnp.concatenate(objs, axis=0)
-        bidx = jnp.arange(b)[:, None]
-        pos = jnp.clip(object_positions, 0)
-        cur = x[bidx, pos]
-        newv = jnp.where((object_positions >= 0)[..., None],
-                         jnp.broadcast_to(obj[None].astype(x.dtype),
-                                          (b,) + obj.shape), cur)
-        x = x.at[bidx, pos].set(newv)
-    ds = [tuple(taps[i] for taps in taps_all)
-          for i in range(len(taps_all[0]))]
+    x = mod._scatter_objects(x, obj, object_positions)
     kvs, hidden = mod.text.prefix_pass(
         x, position_ids, attn_mask, deepstack_embeds=ds,
         visual_start=tuple(visual_starts), return_hidden=True)
@@ -280,38 +264,20 @@ def _prefill_hidden_kvs_multi(mod, patches_list, grids, input_ids,
 def _prefill_hidden_kvs(mod, patches, input_ids, attn_mask,
                         position_ids, boxes_xyxy, ori_wh,
                         visual_start, object_positions):
-    """RefModules method: the grounding prefill (identical embedding
-    assembly to train/ref_lm._hidden_states) returning BOTH the final
-    normed hidden states and the per-layer post-rope KV for the
-    decode cache."""
-    c = mod.cfg
-    m = c.vision.merge
-    mh, mw = mod.grid_h // m, mod.grid_w // m
-    d = c.text.hidden
-    img_embeds, taps = mod.vision(patches)
-    scale3 = img_embeds[:mh * mw].reshape(mh, mw, d)
-    scale2 = taps[-1][:mh * mw].reshape(mh, mw, d)
-    scale1 = taps[-2][:mh * mw].reshape(mh, mw, d)
-    s1, s2, s3 = mod.extras.build_pyramid(scale1, scale2, scale3)
-    norm = jnp.asarray([mw * 32.0, mh * 32.0, mw * 32.0, mh * 32.0],
-                       jnp.float32)
-    ow = jnp.concatenate([ori_wh, ori_wh]).astype(jnp.float32)
-    boxes_32 = boxes_xyxy.astype(jnp.float32) / (ow / norm)
-    obj = mod.extras.object_feats(s1, s2, s3, boxes_32)
-    img_tokens = img_embeds + mod.extras.image_pos(mh, mw)
+    """RefModules method: the grounding prefill — RefModules'
+    standard vision/RoI assembly (incl. the raw-uint8-pixels guard
+    that device_patchify relies on), then
+    prefix_pass(return_hidden=True) for BOTH the final normed hidden
+    states and the per-layer post-rope KV for the decode cache."""
+    img_tokens, obj, taps = mod._vision_and_objects(
+        patches, boxes_xyxy, ori_wh)
     x = mod.embed(input_ids)
     b = x.shape[0]
     x = jax.lax.dynamic_update_slice_in_dim(
         x, jnp.broadcast_to(img_tokens[None].astype(x.dtype),
                             (b,) + img_tokens.shape),
         visual_start, axis=1)
-    bidx = jnp.arange(b)[:, None]
-    pos = jnp.clip(object_positions, 0)
-    cur = x[bidx, pos]
-    newv = jnp.where((object_positions >= 0)[..., None],
-                     jnp.broadcast_to(obj[None].astype(x.dtype),
-                                      (b,) + obj.shape), cur)
-    x = x.at[bidx, pos].set(newv)
+    x = mod._scatter_objects(x, obj, object_positions)
     kvs, hidden = mod.text.prefix_pass(
         x, position_ids, attn_mask, deepstack_embeds=list(taps),
         visual_start=visual_start, return_hidden=True)
