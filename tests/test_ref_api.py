@@ -243,6 +243,18 @@ def test_generate_text(tiny, monkeypatch):
                                  pad_token_id=0)
     assert isinstance(out2, list) and len(out2) <= 4
 
+    # quantize_decode=True builds the int8 decode tree lazily and
+    # generates valid tokens through the same surface
+    scorer3 = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                        max_proposals=3, device_patchify=False,
+                        quantize_decode=True)
+    out3 = scorer3.generate_text(img, "describe the image",
+                                 max_new_tokens=4, eos_token_id=95,
+                                 pad_token_id=0)
+    assert scorer3._decode_params is not None
+    assert isinstance(out3, list) and len(out3) <= 4
+    assert all(0 <= t < cfg.text.vocab_size for t in out3)
+
 
 def test_score_multi_images_prefix_sharing(tiny, monkeypatch):
     """Multi-image prefix-sharing factoring equals the joint path."""

@@ -19,11 +19,13 @@ def _run_generate(args, img):
     from wedetect_tpu.models.ref_api import RefScorer
 
     cfg, params, tok = load_ref(args.ref_checkpoint)
-    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
+                       quantize_decode=args.int8_decode)
     text = scorer.generate_text(
         img, args.generate, max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
-        eos_token_id=tok.convert_tokens_to_ids("<|im_end|>"))
+        eos_token_id=tok.convert_tokens_to_ids("<|im_end|>"),
+        speculative=args.speculative)
     print(text)
 
 
@@ -45,6 +47,12 @@ def parse_args(argv=None):
                         "checkpoints; models/ref_generate)")
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--int8-decode", action="store_true",
+                   help="weight-only int8 generation decode "
+                        "(models/quant)")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (greedy "
+                        "only; models/ref_speculative)")
     return p.parse_args(argv)
 
 

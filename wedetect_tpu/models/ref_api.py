@@ -65,6 +65,13 @@ class RefScorer:
     # enough to hide transport round trips, bounded so long runs don't
     # queue unbounded device input buffers
     dispatch_window: int = 4
+    # weight-only int8 for the generation decode step (models/quant):
+    # the HBM-bound per-token decode reads int8 kernels (+f32 scales)
+    # instead of full-precision, ~4x (f32) / 2x (bf16) less weight
+    # traffic per generated token; prefill/scoring stay full precision
+    quantize_decode: bool = False
+    _decode_params: object = dataclasses.field(
+        default=None, init=False, repr=False)
 
     def __post_init__(self):
         # fail LOUDLY at construction on a mis-sized bucket: a kv
@@ -474,14 +481,19 @@ class RefScorer:
                       temperature: float = 0.0,
                       eos_token_id: int = 151645,
                       pad_token_id: int = 151643,
-                      seed: int = 0) -> str:
+                      seed: int = 0,
+                      speculative: bool = False,
+                      spec_k: int = 8) -> str:
         """Chat/captioning: greedy (or temperature-sampled) generation
         from an image + user prompt through the grounding trunk — the
         TPU twin of the reference stage-1/2 class's inherited HF
         .generate() (qwen3vl_grounding.py:311-379). One jitted call:
         batched prefill + lax.scan KV-cache decode
         (models/ref_generate). Returns the decoded text (tokens up to
-        eos)."""
+        eos). speculative=True (greedy only) uses prompt-lookup
+        speculative decoding (models/ref_speculative): exact same
+        tokens, fewer HBM-bound decode steps when the output replays
+        prompt n-grams."""
         import jax
         import jax.numpy as jnp
 
@@ -512,7 +524,10 @@ class RefScorer:
         ids = np.pad(ids, (0, p_pad - p_real),
                      constant_values=pad_token_id)
         pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
-        toks = np.asarray(ref_generate(
+        if self.quantize_decode and self._decode_params is None:
+            from wedetect_tpu.models.quant import quantize_decode_params
+            self._decode_params = quantize_decode_params(self.params)
+        gen_args = (
             c, gh, gw, self.params, jnp.asarray(patches),
             jnp.asarray(ids[None].astype(np.int32)),
             jnp.asarray(mask[None]),
@@ -520,8 +535,21 @@ class RefScorer:
             jnp.asarray(np.array([pos.max() + 1], np.int32)),
             jnp.asarray(np.array([[0, 0, w, h]], np.float32)),
             jnp.asarray(np.array([w, h], np.float32)),
-            max_new_tokens, eos_token_id, temperature, pad_token_id,
-            rng=jax.random.PRNGKey(seed)))[0]
+            max_new_tokens, eos_token_id)
+        if speculative:
+            assert temperature == 0.0, \
+                "speculative decoding is greedy-only"
+            from wedetect_tpu.models.ref_speculative import (
+                ref_generate_spec)
+            toks, _steps = ref_generate_spec(
+                *gen_args, pad_token_id,
+                decode_params=self._decode_params, spec_k=spec_k)
+            toks = np.asarray(toks)[0]
+        else:
+            toks = np.asarray(ref_generate(
+                *gen_args, temperature, pad_token_id,
+                rng=jax.random.PRNGKey(seed),
+                decode_params=self._decode_params))[0]
         keep = []
         for t in toks:
             if t in (eos_token_id, pad_token_id):

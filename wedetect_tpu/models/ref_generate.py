@@ -29,6 +29,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from wedetect_tpu.models.quant import matmul_any
 from wedetect_tpu.nn.qwen3vl import (RefCfg, _apply_rope,
                                      interleaved_mrope_cos_sin)
 from wedetect_tpu.ops.attention import gqa_attention
@@ -47,7 +48,7 @@ def _lm_logits(params, hidden):
     embedding — same contract as train/ref_lm."""
     h = hidden.astype(jnp.float32)
     if "lm_head" in params:
-        return h @ params["lm_head"]["kernel"].astype(jnp.float32)
+        return matmul_any(h, params["lm_head"], jnp.float32)
     emb = params["embed"]["embed_tokens"]["embedding"]
     return h @ emb.T.astype(jnp.float32)
 
@@ -67,9 +68,9 @@ def _decode_layer(p, cfg, x, cos, sin, cache_k, cache_v, write_at,
     dt = x.dtype      # compute dtype (flax Dense(dtype=...) semantics:
     #                   params are cast to the compute dtype)
     y = _rms(x, p["input_ln"]["scale"], eps)
-    q = y @ p["q_proj"]["kernel"].astype(dt)
-    k = y @ p["k_proj"]["kernel"].astype(dt)
-    v = y @ p["v_proj"]["kernel"].astype(dt)
+    q = matmul_any(y, p["q_proj"], dt)
+    k = matmul_any(y, p["k_proj"], dt)
+    v = matmul_any(y, p["v_proj"], dt)
     q = _rms(q.reshape(b, 1, c.heads, c.head_dim),
              p["q_norm"]["scale"], eps)
     k = _rms(k.reshape(b, 1, c.kv_heads, c.head_dim),
@@ -84,12 +85,11 @@ def _decode_layer(p, cfg, x, cos, sin, cache_k, cache_v, write_at,
                       kv_valid=kv_valid,
                       sm_scale=1.0 / math.sqrt(c.head_dim),
                       impl="einsum")
-    x = x + (o.astype(dt).reshape(b, 1, -1)
-             @ p["o_proj"]["kernel"].astype(dt))
+    x = x + matmul_any(o.astype(dt).reshape(b, 1, -1), p["o_proj"], dt)
     y = _rms(x, p["post_ln"]["scale"], eps)
-    gate = y @ p["gate_proj"]["kernel"].astype(dt)
-    up = y @ p["up_proj"]["kernel"].astype(dt)
-    return x + (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"].astype(dt), \
+    gate = matmul_any(y, p["gate_proj"], dt)
+    up = matmul_any(y, p["up_proj"], dt)
+    return x + matmul_any(jax.nn.silu(gate) * up, p["down_proj"], dt), \
         cache_k, cache_v
 
 
@@ -110,7 +110,7 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
                  temperature: float = 0.0,
                  pad_id: int = 0,
                  object_positions=None, rng=None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, decode_params=None):
     """Greedy / temperature generation from image-bearing prompts.
 
     patches (S, Dp) one shared image; input_ids/attn_mask (B, P)
@@ -121,7 +121,10 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
     features into the prompt (None = caption-only: pass a dummy box,
     reference qwen3vl_grounding.py:168-171 does the same). Returns
     (B, max_new_tokens) int32 — eos is emitted, positions after it
-    hold pad_id.
+    hold pad_id. decode_params optionally substitutes the param tree
+    read by the per-token decode layers + LM head — pass
+    models/quant.quantize_decode_params(params) for weight-only-int8
+    decode (prefill stays full precision; see models/quant docstring).
     """
     from wedetect_tpu.models.ref import RefModules
 
@@ -137,7 +140,8 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
         object_positions, method=_prefill_hidden_kvs)
-    return _decode_from_prefill(c, params, hidden, kvs, attn_mask,
+    dp = params if decode_params is None else decode_params
+    return _decode_from_prefill(c, dp, hidden, kvs, attn_mask,
                                 next_pos, max_new_tokens, eos_id,
                                 temperature, pad_id, rng, dtype)
 
@@ -151,11 +155,12 @@ def ref_generate_multi(cfg: RefCfg, grids, params, patches_list,
                        next_pos, max_new_tokens: int, eos_id: int,
                        temperature: float = 0.0, pad_id: int = 0,
                        object_positions=None, rng=None,
-                       dtype=jnp.float32):
+                       dtype=jnp.float32, decode_params=None):
     """ref_generate for prompts holding SEVERAL images (static
     per-image grids + span offsets, arguments as in
     models/ref.ref_score_step_multi). boxes_list entries may be None;
-    object_positions=None for caption-only prompts."""
+    object_positions=None for caption-only prompts; decode_params as
+    in ref_generate (weight-only-int8 decode tree)."""
     from wedetect_tpu.models.ref import RefModules
 
     c = cfg
@@ -170,7 +175,8 @@ def ref_generate_multi(cfg: RefCfg, grids, params, patches_list,
         input_ids, attn_mask, position_ids, tuple(boxes_list),
         tuple(ori_wh_list), tuple(visual_starts), object_positions,
         method=_prefill_hidden_kvs_multi)
-    return _decode_from_prefill(c, params, hidden, kvs, attn_mask,
+    dp = params if decode_params is None else decode_params
+    return _decode_from_prefill(c, dp, hidden, kvs, attn_mask,
                                 next_pos, max_new_tokens, eos_id,
                                 temperature, pad_id, rng, dtype)
 
