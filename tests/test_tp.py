@@ -11,9 +11,8 @@ from wedetect_tpu.nn.qwen3vl import RefCfg, RefTextCfg, RefVisionCfg
 from wedetect_tpu.parallel.mesh import make_tp_mesh, ref_tp_sharding
 
 
-@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
-def test_ref_tp_matches_replicated(rng):
-    cfg = RefCfg(
+def _tp_cfg():
+    return RefCfg(
         vision=RefVisionCfg(depth=2, hidden=32, heads=4,
                             intermediate=64, patch=4, temporal_patch=2,
                             merge=2, out_hidden=48, num_pos_emb=64,
@@ -23,6 +22,11 @@ def test_ref_tp_matches_replicated(rng):
                         rope_theta=1000.0, mrope_section=(4, 2, 2)),
         image_token_id=120, vision_start_token_id=122,
         object_token_id=123)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ref_tp_matches_replicated(rng):
+    cfg = _tp_cfg()
     gh, gw = 8, 8
     args = (jnp.asarray(rng.standard_normal((gh * gw, 96))
                         .astype(np.float32)),
@@ -51,3 +55,49 @@ def test_ref_tp_matches_replicated(rng):
             cfg, gh, gw, sharded, args[0], args[1], args[2], args[3],
             args[6], args[4], args[5], args[7]))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ref_tp_generate_matches_replicated(rng):
+    """TP-sharded generation (Megatron kernels, vocab-sharded tied
+    head, head-sharded KV cache inside the decode scan) emits the
+    exact greedy tokens of the replicated run — the multi-chip serving
+    layout for models too big for one chip's HBM."""
+    from wedetect_tpu.models.ref_generate import ref_generate
+    from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
+
+    cfg = _tp_cfg()
+    gh, gw = 8, 8
+    n_img = (gh // 2) * (gw // 2)
+    ids0 = np.concatenate([
+        np.array([1, cfg.vision_start_token_id]),
+        np.full(n_img, cfg.image_token_id),
+        rng.integers(2, 80, 5)]).astype(np.int32)
+    pos0 = get_rope_index_single_image(ids0, cfg.image_token_id,
+                                       gh, gw, 2)
+    patches = rng.standard_normal(
+        (gh * gw, 96)).astype(np.float32)
+    ids = ids0[None]
+    mask = np.ones((1, len(ids0)), np.int32)
+    pos = pos0[:, None]
+    boxes = np.array([[0, 0, 64, 64]], np.float32)
+    ori = np.array([64.0, 64.0], np.float32)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(1), jnp.asarray(patches), jnp.asarray(ids),
+        jnp.asarray(mask), jnp.asarray(pos), jnp.asarray(boxes),
+        jnp.asarray(ori), 1,
+        jnp.zeros((1, 1), jnp.int32))["params"]
+    gen_args = (cfg, gh, gw)
+    tail = (jnp.asarray(patches), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pos), 1,
+            jnp.asarray(np.array([pos0.max() + 1], np.int32)),
+            jnp.asarray(boxes), jnp.asarray(ori), 6)
+    want = np.asarray(ref_generate(*gen_args, params, *tail, eos_id=95))
+
+    mesh = make_tp_mesh(data=1, tp=4, devices=jax.devices()[:4])
+    with mesh:
+        sharded = jax.device_put(params, ref_tp_sharding(mesh, params))
+        got = np.asarray(ref_generate(*gen_args, sharded, *tail,
+                                      eos_id=95))
+    np.testing.assert_array_equal(got, want)
