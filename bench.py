@@ -383,6 +383,71 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
     return qps
 
 
+def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
+              P=384, new=(16, 80)):
+    """Text generation tok/s: 2B, bf16 weights, jitted prefill +
+    KV-cache decode (P=384 bucket, 40x30-grid image prompt). Decode is
+    HBM-bound, so int8=True (weight-only int8 decode tree,
+    models/quant) measures the bandwidth win directly. tok/s is the
+    marginal decode rate ((t_new[1] - t_new[0]) per extra step —
+    prefill excluded). The reference has no generation benchmark (its
+    twin inherits HF .generate). cfg/gh/gw/P are overridable so the
+    same path is drivable at tiny scale off-chip."""
+    import jax.numpy as jnp
+
+    from wedetect_tpu.models.ref_generate import ref_generate
+    from wedetect_tpu.nn.qwen3vl import ref_2b
+
+    if cfg is None:
+        cfg = ref_2b()
+    params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
+                                seq_len=P)
+    dp = None
+    if int8:
+        from wedetect_tpu.models.quant import quantize_decode_params
+        dp = quantize_decode_params(params)
+    patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
+        * cfg.vision.patch ** 2
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.standard_normal(
+        (gh * gw, patch_dim)).astype(np.float32))
+    n_img = (gh // 2) * (gw // 2)
+    ids = np.full((b, P), 11, np.int32)
+    ids[:, 4] = cfg.vision_start_token_id
+    ids[:, 5:5 + n_img] = cfg.image_token_id
+    real = 5 + n_img + 17
+    mask = np.zeros((b, P), np.int32)
+    mask[:, :real] = 1
+    pos = np.tile(np.arange(P)[None, None], (3, b, 1)).astype(np.int32)
+    args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pos), 5,
+            jnp.asarray(np.full((b,), real, np.int32)),
+            jnp.asarray([[0.0, 0.0, 10.0, 10.0]]),
+            jnp.asarray([960.0, 1280.0]))
+
+    def run(max_new):
+        out = ref_generate(cfg, gh, gw, params, patches, *args,
+                           max_new, 2, temperature=0.0,
+                           dtype=jnp.bfloat16, decode_params=dp)
+        np.asarray(out)      # sync (block_until_ready lies here)
+
+    def timeit(max_new):
+        run(max_new)         # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            run(max_new)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    step = (timeit(new[1]) - timeit(new[0])) / (new[1] - new[0])
+    tps = b / step
+    print(f"# gen2b{'_int8' if int8 else ''} b={b}: "
+          f"{step * 1e3:.2f} ms/step, {tps:.1f} tok/s", file=sys.stderr)
+    del params, dp
+    gc.collect()
+    return tps
+
+
 def main():
     import jax
 
@@ -440,6 +505,12 @@ def main():
             sub["e2e_eval_img_per_s"] = round(e2e, 2)
         except Exception as e:
             print(f"# e2e bench failed: {e!r}", file=sys.stderr)
+        try:
+            sub["gen2b_bf16_tok_per_s"] = round(bench_gen(b=8), 1)
+            sub["gen2b_int8_tok_per_s"] = round(
+                bench_gen(b=8, int8=True), 1)
+        except Exception as e:
+            print(f"# gen bench failed: {e!r}", file=sys.stderr)
 
     baseline = 35.1  # reference WeDetect-Base FPS (BASELINE.md)
     print(json.dumps({
