@@ -45,14 +45,15 @@ def _run_chained(step, first_arg, iters, trials=4):
     return best
 
 
-def bench_detect(size, k, batches, iters):
+def bench_detect(size, k, batches, iters, quant=False):
     import jax
     import jax.numpy as jnp
 
     from wedetect_tpu.configs import get_config
     from wedetect_tpu.models.wedetect import detect_step, init_variables
 
-    cfg = get_config(size, compute_dtype="bfloat16", num_classes=k)
+    cfg = get_config(size, compute_dtype="bfloat16", num_classes=k,
+                     quant_int8=quant)
     try:
         cpu = jax.local_devices(backend="cpu")[0]
         with jax.default_device(cpu):
@@ -81,8 +82,9 @@ def bench_detect(size, k, batches, iters):
         try:
             dt = _run_chained(step, imgs0, iters)
             ips = b / dt
-            print(f"# {size} {h}x{w} K={k} b={b}: {ips:.1f} img/s "
-                  f"({dt * 1e3:.1f} ms)", file=sys.stderr)
+            print(f"# {size}{'-int8' if quant else ''} {h}x{w} K={k} "
+                  f"b={b}: {ips:.1f} img/s ({dt * 1e3:.1f} ms)",
+                  file=sys.stderr)
             best = max(best, ips)
         except Exception as e:
             print(f"# {size} K={k} b={b} failed: {type(e).__name__}",

@@ -27,6 +27,9 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer", default="xlm-roberta-base")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 channel-mixing matmuls "
+                        "(serving mode; ops/int8.py — 2x MXU peak)")
     p.add_argument("--font", default=None,
                    help="TrueType font path for captions (CJK class "
                         "names need one, e.g. simsun.ttc — reference "
@@ -41,6 +44,8 @@ def main(argv=None):
     from wedetect_tpu.utils.vis import draw_detections
 
     kw = dict(compute_dtype="bfloat16") if args.bf16 else {}
+    if args.int8:
+        kw["quant_int8"] = True
     texts = [t.strip() for t in args.text.split(",") if t.strip()]
     if args.random_init or not args.checkpoint:
         det = Detector.from_random(args.size, **kw)

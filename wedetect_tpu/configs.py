@@ -120,6 +120,9 @@ class ModelCfg:
     num_classes: int = 80
     # compute dtype for conv/matmul path ("bfloat16" or "float32")
     compute_dtype: str = "float32"
+    # dynamic-int8 channel-mixing matmuls (inference-only serving mode;
+    # ops/int8.py — MXU int8 runs at 2x the bf16 peak)
+    quant_int8: bool = False
     test: TestCfg = TestCfg()
     train: TrainCfg = TrainCfg()
 

@@ -67,7 +67,8 @@ class WeDetectModule(nn.Module):
         dt = c.dtype
         self.backbone = ConvNeXt(depths=c.depths, dims=c.dims,
                                  drop_path_rate=c.drop_path_rate,
-                                 dtype=dt, name="backbone")
+                                 dtype=dt, quant=c.quant_int8,
+                                 name="backbone")
         if c.backbone_down_proj:
             # xlarge c4 1x1 down-projection (reference
             # mm_backbone.py:278-301, down_mlp Conv2d(2048, 1024, 1))

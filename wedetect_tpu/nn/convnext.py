@@ -52,18 +52,25 @@ class ConvNeXtBlock(nn.Module):
     layer_scale_init: float = 1e-6
     drop_path: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 MLP matmuls (inference only)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        dg = None
+        if self.quant:
+            from wedetect_tpu.ops.int8 import quant_dot_general
+            dg = quant_dot_general
         inp = x
         x = nn.Conv(self.dim, (7, 7), padding=[(3, 3), (3, 3)],
                     feature_group_count=self.dim, use_bias=True,
                     dtype=self.dtype, name="dwconv")(x)
         x = LayerNormF32(dtype=self.dtype, name="norm")(x)
-        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, dot_general=dg,
+                     name="pwconv1")(x)
         x = jax.nn.gelu(x.astype(jnp.float32),
                         approximate=False).astype(self.dtype)
-        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, dot_general=dg,
+                     name="pwconv2")(x)
         if self.layer_scale_init > 0:
             gamma = self.param(
                 "gamma",
@@ -86,6 +93,8 @@ class ConvNeXt(nn.Module):
     dims: Tuple[int, ...] = (128, 256, 512, 1024)
     drop_path_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False  # int8 block MLPs (inference only: the int8
+    # rounding has no useful gradient — see ops/int8.py)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -109,7 +118,7 @@ class ConvNeXt(nn.Module):
                             dtype=self.dtype, name=f"down{i}_conv")(x)
             for j in range(self.depths[i]):
                 x = ConvNeXtBlock(self.dims[i], drop_path=rates[b],
-                                  dtype=self.dtype,
+                                  dtype=self.dtype, quant=self.quant,
                                   name=f"stage{i}_block{j}")(
                     x, deterministic=deterministic)
                 b += 1
