@@ -77,11 +77,13 @@ class WeDetectModule(nn.Module):
         self.neck = CSPRepBiFPANNeck(scale=c.neck_scale,
                                      repeats=c.neck_repeats, dtype=dt,
                                      bn_axis_name=self.bn_axis_name,
+                                     quant=c.quant_int8,
                                      name="neck")
         self.head = WeDetectHead(embed_dims=c.embed_dims,
                                  reg_max=c.reg_max,
                                  use_bn_head=c.use_bn_head, dtype=dt,
                                  bn_axis_name=self.bn_axis_name,
+                                 quant=c.quant_int8,
                                  name="head")
         if c.num_prompts:
             # WeDetect-Uni learned objectness prompt bank

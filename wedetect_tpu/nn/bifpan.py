@@ -34,13 +34,15 @@ class CSPRepBiFPANNeck(nn.Module):
     repeats: int = 12
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False  # int8 convs (inference only; ops/int8.py)
 
     @nn.compact
     def __call__(self, feats, train: bool = False):
         c1, c2, c3, c4 = feats
         s = self.scale
         ch = lambda c: int(c * s)  # noqa: E731
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant=self.quant)
         n = self.repeats
 
         fpn_out0 = ConvBN(ch(256), 1, 1, "relu", name="reduce0",

@@ -112,6 +112,7 @@ class WeDetectHead(nn.Module):
     use_bn_head: bool = True
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False  # int8 tower convs (inference only)
 
     @nn.compact
     def __call__(self, feats: Sequence[jax.Array], w: jax.Array,
@@ -119,15 +120,18 @@ class WeDetectHead(nn.Module):
                  normalize_w: bool = True) -> HeadOutputs:
         assert len(feats) == self.num_levels
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        # tower convs may quantize; the 1x1 preds and the contrastive
+        # similarity stay float (score-critical, <1 ms — PERF.md)
+        tkw = dict(kw, quant=self.quant)
         logits_l, dists_l, embeds_l, dl_l = [], [], [], []
         for i, f in enumerate(feats):
             b, h, wd, _ = f.shape
             c = ConvBN(self.cls_hidden, 3, 1, "silu",
                        bn_eps=1e-3, bn_momentum=0.97,
-                       name=f"cls{i}_conv0", **kw)(f, train)
+                       name=f"cls{i}_conv0", **tkw)(f, train)
             c = ConvBN(self.cls_hidden, 3, 1, "silu",
                        bn_eps=1e-3, bn_momentum=0.97,
-                       name=f"cls{i}_conv1", **kw)(c, train)
+                       name=f"cls{i}_conv1", **tkw)(c, train)
             embed = Conv1x1(self.embed_dims, dtype=self.dtype,
                             name=f"cls{i}_pred")(c)
             logit, embed_n = ContrastiveScore(
@@ -137,10 +141,10 @@ class WeDetectHead(nn.Module):
 
             r = ConvBN(self.reg_hidden, 3, 1, "silu",
                        bn_eps=1e-3, bn_momentum=0.97,
-                       name=f"reg{i}_conv0", **kw)(f, train)
+                       name=f"reg{i}_conv0", **tkw)(f, train)
             r = ConvBN(self.reg_hidden, 3, 1, "silu",
                        bn_eps=1e-3, bn_momentum=0.97,
-                       name=f"reg{i}_conv1", **kw)(r, train)
+                       name=f"reg{i}_conv1", **tkw)(r, train)
             dist_logits = Conv1x1(4 * self.reg_max, dtype=self.dtype,
                                   name=f"reg{i}_pred")(r)
             dist = dfl_expectation(dist_logits, self.reg_max)

@@ -49,9 +49,14 @@ class ConvBN(nn.Module):
     bn_momentum: float = 0.9   # = torch momentum 0.1
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False        # int8 conv (inference only; ops/int8.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        cg = None
+        if self.quant:
+            from wedetect_tpu.ops.int8 import quant_conv_general
+            cg = quant_conv_general
         p = self.kernel // 2
         x = nn.Conv(
             self.out_ch, (self.kernel, self.kernel),
@@ -60,6 +65,7 @@ class ConvBN(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.deploy,
             dtype=self.dtype,
+            conv_general_dilated=cg,
             name="conv",
         )(x)
         if not self.deploy:
@@ -131,13 +137,16 @@ class BottleRep(nn.Module):
     shortcut: bool = True
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = ConvBN(self.out_ch, 3, 1, "silu", dtype=self.dtype,
-                   bn_axis_name=self.bn_axis_name, name="conv1")(x, train)
+                   bn_axis_name=self.bn_axis_name, quant=self.quant,
+                   name="conv1")(x, train)
         y = ConvBN(self.out_ch, 3, 1, "silu", dtype=self.dtype,
-                   bn_axis_name=self.bn_axis_name, name="conv2")(y, train)
+                   bn_axis_name=self.bn_axis_name, quant=self.quant,
+                   name="conv2")(y, train)
         if self.shortcut:
             alpha = self.param("alpha", nn.initializers.ones, (1,),
                                jnp.float32)
@@ -156,16 +165,18 @@ class RepBlock(nn.Module):
     first_shortcut: bool = True
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = BottleRep(self.out_ch, shortcut=self.first_shortcut,
                       dtype=self.dtype, bn_axis_name=self.bn_axis_name,
-                      name="conv1")(x, train)
+                      quant=self.quant, name="conv1")(x, train)
         extra = max(self.n // 2 - 1, 0)
         for i in range(extra):
             x = BottleRep(self.out_ch, shortcut=True, dtype=self.dtype,
                           bn_axis_name=self.bn_axis_name,
+                          quant=self.quant,
                           name=f"block_{i}")(x, train)
         return x
 
@@ -182,12 +193,14 @@ class BepC3(nn.Module):
     e: float = 0.5
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c_ = int(self.out_ch * self.e)
         in_ch = x.shape[-1]
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant=self.quant)
         del in_ch
         a = ConvBN(c_, 1, 1, "silu", name="cv1", **kw)(x, train)
         # RepBlock's first BottleRep has in=c_, out=c_ here, so its
@@ -210,10 +223,12 @@ class BiFusion(nn.Module):
     out_ch: int
     dtype: Dtype = jnp.float32
     bn_axis_name: Optional[str] = None
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, x2, train: bool = False):
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name,
+                  quant=self.quant)
         up = Transpose2x(self.out_ch, dtype=self.dtype,
                          name="upsample")(x0)
         mid = ConvBN(self.out_ch, 1, 1, "relu", name="cv1", **kw)(x1, train)
