@@ -480,6 +480,11 @@ def main():
         except Exception as e:
             print(f"# k1280 bench failed: {e!r}", file=sys.stderr)
         try:
+            i8 = bench_detect("base", 80, (8,), 5, quant=True)
+            sub["wedetect_base_640_int8_img_per_s"] = round(i8, 2)
+        except Exception as e:
+            print(f"# int8 bench failed: {e!r}", file=sys.stderr)
+        try:
             # production path (RefScorer default): prefix sharing
             qps = bench_ref(split=True)
             sub["ref2b_queries_per_s"] = round(qps, 2)

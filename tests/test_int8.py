@@ -124,6 +124,81 @@ def _tiny_cfg(quant):
                                                    max_per_img=16))
 
 
+@pytest.mark.slow
+def test_int8_on_trained_weights():
+    """Accuracy on TRAINED weights (the metric that matters): train the
+    mini detector to localize colored blocks, then require the int8
+    graph to produce the same top detection (label + box) as the float
+    graph on held-out samples. Random-weight score deltas overstate
+    int8 noise (tests/test_real_image_parity.py pins that bound); this
+    pins the post-training ranking behavior."""
+    import dataclasses
+
+    from test_detector import mini_cfg
+    from wedetect_tpu.models.wedetect import detect_step, init_variables
+    from wedetect_tpu.train.loop import (TrainLoopCfg,
+                                         make_batch_iterator,
+                                         run_training)
+    from wedetect_tpu.train.optimizer import make_optimizer
+    from wedetect_tpu.train.train_step import TrainState
+
+    cfg = mini_cfg(num_classes=2)
+    rng0 = np.random.default_rng(0)
+    w_emb = rng0.standard_normal((2, cfg.embed_dims)).astype(np.float32)
+    w_emb /= np.linalg.norm(w_emb, axis=-1, keepdims=True)
+
+    def sample_fn(rng):
+        img = np.full((64, 64, 3), 30, np.uint8)
+        cls = int(rng.integers(0, 2))
+        x, y = int(rng.integers(4, 30)), int(rng.integers(4, 30))
+        bw, bh = int(rng.integers(16, 30)), int(rng.integers(16, 30))
+        img[y:y + bh, x:x + bw] = ((220, 40, 40) if cls == 0
+                                   else (40, 220, 40))
+        return {"image": img,
+                "gt_bboxes": np.array([[x, y, x + bw, y + bh]],
+                                      np.float32),
+                "gt_labels": np.array([cls], np.int64),
+                "texts": ["red", "green"]}
+
+    variables = init_variables(cfg, seed=0)
+    tx = make_optimizer(variables["params"], base_lr=2e-3)
+    state = TrainState.create(variables, tx)
+    loop_cfg = TrainLoopCfg(steps=60, batch_size=4, log_every=60)
+    batches = make_batch_iterator(cfg, loop_cfg, sample_fn,
+                                  lambda texts: w_emb, seed=0,
+                                  num_workers=2)
+    state = run_training(cfg, state, batches, loop_cfg,
+                         log_fn=lambda s, m: None)
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+
+    cfg_q = dataclasses.replace(cfg, quant_int8=True)
+    n = 8
+    rng = np.random.default_rng(42)
+    samples = [sample_fn(rng) for _ in range(n)]
+    imgs = jnp.asarray(np.stack([s["image"] for s in samples]))
+    w = jnp.asarray(w_emb)
+    sf = jnp.ones((n, 2), jnp.float32)
+    pad = jnp.zeros((n, 4), jnp.float32)
+    ori = jnp.full((n, 2), 64.0, jnp.float32)
+    det_f = detect_step(cfg, trained, imgs, w, sf, pad, ori)
+    det_q = detect_step(cfg_q, trained, imgs, w, sf, pad, ori)
+
+    agree = 0
+    for i in range(n):
+        bf, bq = np.asarray(det_f.boxes[i, 0]), np.asarray(det_q.boxes[i, 0])
+        ix1, iy1 = np.maximum(bf[:2], bq[:2])
+        ix2, iy2 = np.minimum(bf[2:], bq[2:])
+        inter = max(ix2 - ix1, 0) * max(iy2 - iy1, 0)
+        area = lambda b: max(b[2] - b[0], 0) * max(b[3] - b[1], 0)
+        iou = inter / max(area(bf) + area(bq) - inter, 1e-9)
+        same_label = (int(det_f.labels[i, 0]) == int(det_q.labels[i, 0]))
+        agree += int(same_label and iou > 0.85)
+    assert agree >= n - 1, agree
+    # top-1 confidence tracks within a few points after training
+    np.testing.assert_allclose(np.asarray(det_q.scores[:, 0]),
+                               np.asarray(det_f.scores[:, 0]), atol=0.06)
+
+
 def test_quantized_detector_agrees_with_float():
     """detect_step with quant_int8: same weights, quantized backbone
     MLPs — top detections must agree with the float graph."""

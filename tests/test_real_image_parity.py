@@ -184,6 +184,21 @@ def test_full_stack_real_image(size, num_prompts):
     np.testing.assert_allclose(np.asarray(out.embeds[0]),
                                want_all_embeds, rtol=5e-3, atol=5e-3)
 
+    # 1b) int8 serving mode on the calibrated real-image stack. With
+    # He-RANDOM weights the ~75 quantized layers accumulate ~1%/layer
+    # rounding noise with no trained structure to absorb it, so this
+    # pins the measured worst-case NOISE BOUND (mean |dscore| 0.033,
+    # pearson 0.90 measured) — the ranking-quality evidence on trained
+    # weights is tests/test_int8.py::test_int8_on_trained_weights.
+    if size == "base":
+        cfg_q = dataclasses.replace(cfg, quant_int8=True)
+        out_q = forward_raw(cfg_q, variables, jnp.asarray(lb[None]),
+                            None)
+        q = np.asarray(out_q.scores[0]).ravel()
+        fl = want_all_scores.ravel()
+        assert float(np.abs(q - fl).mean()) < 0.05
+        assert float(np.corrcoef(q, fl)[0, 1]) > 0.85
+
     # 2) full stack incl. NMS + un-letterbox: same kept set
     det = Detector(cfg=cfg, variables=variables, preproc="yolov5")
     got = det([DEMO], score_thr=0.0)[0]
