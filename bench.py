@@ -273,7 +273,7 @@ def bench_e2e(n_images=240, batch_size=8, trials=2):
 
 
 def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
-              variant="2b", split=False):
+              variant="2b", split=False, quant=False):
     """Ref REC scoring: vision tower (40x30 grid) + one batched
     flash-attention prefill scoring `proposals` boxes for `queries`
     query rows. queries/s compares against the reference's 6.6 FPS
@@ -292,6 +292,9 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
     from wedetect_tpu.nn.qwen3vl import ref_2b, ref_4b
 
     cfg = ref_2b() if variant == "2b" else ref_4b()
+    if quant:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, quant_int8=True)
     gh, gw = 40, 30
     mh, mw = gh // 2, gw // 2
     rng = np.random.default_rng(0)
@@ -494,6 +497,11 @@ def main():
         # (the joint L=2048 flash row — 18.4 q/s — is documented in
         # PERF.md; it is omitted here to keep the driver bench's
         # compile count bounded. Run bench_ref() directly to remeasure.)
+        try:
+            qi8 = bench_ref(split=True, quant=True)
+            sub["ref2b_int8_queries_per_s"] = round(qi8, 2)
+        except Exception as e:
+            print(f"# ref int8 bench failed: {e!r}", file=sys.stderr)
         try:
             qps4 = bench_ref(variant="4b", iters=3, split=True)
             sub["ref4b_queries_per_s"] = round(qps4, 2)

@@ -124,6 +124,62 @@ def _tiny_cfg(quant):
                                                    max_per_img=16))
 
 
+def test_int8_ref_prefill_tracks_float():
+    """RefCfg.quant_int8 quantizes the decoder/ViT prefill matmuls:
+    object logits must track the float scoring path on a tiny config."""
+    from wedetect_tpu.models.ref import RefModules, ref_score_step
+    from wedetect_tpu.nn.qwen3vl import (RefCfg, RefTextCfg,
+                                         RefVisionCfg,
+                                         get_rope_index_single_image)
+    import dataclasses
+
+    cfg = RefCfg(
+        vision=RefVisionCfg(depth=2, hidden=32, heads=4,
+                            intermediate=64, patch=4, temporal_patch=2,
+                            merge=2, out_hidden=48, num_pos_emb=64,
+                            deepstack_idx=(0, 1)),
+        text=RefTextCfg(vocab_size=128, hidden=48, layers=2, heads=4,
+                        kv_heads=2, head_dim=16, intermediate=96,
+                        rope_theta=1000.0, mrope_section=(4, 2, 2)),
+        image_token_id=120, vision_start_token_id=122,
+        object_token_id=123)
+    rng = np.random.default_rng(7)
+    gh = gw = 8
+    n_img = (gh // 2) * (gw // 2)
+    n_obj = 3
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[4, 4, 60, 40], [10, 8, 90, 60],
+                      [0, 0, 30, 30]], np.float32)
+    seq = np.concatenate([np.array([1, 2, 122]), np.full(n_img, 120),
+                          np.array([7, 9]), np.full(n_obj, 123),
+                          np.array([2])]).astype(np.int32)
+    b, l = 2, len(seq)
+    ids = np.tile(seq[None], (b, 1))
+    mask = np.ones((b, l), np.int32)
+    pos = np.tile(get_rope_index_single_image(seq, 120, gh, gw, 2)
+                  [:, None], (1, b, 1)).astype(np.int32)
+    objpos = np.tile(np.nonzero(seq == 123)[0][None],
+                     (b, 1)).astype(np.int32)
+    ow_oh = np.array([96.0, 64.0], np.float32)
+
+    variables = RefModules(cfg, gh, gw).init(
+        jax.random.PRNGKey(0), patches, ids, mask, pos, boxes,
+        ow_oh, 3, objpos)
+    params = variables["params"]
+    args = (jnp.asarray(patches), jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(pos), 3, jnp.asarray(boxes),
+            jnp.asarray(ow_oh), jnp.asarray(objpos))
+    want = np.asarray(ref_score_step(cfg, gh, gw, params, *args))
+    cfg_q = dataclasses.replace(cfg, quant_int8=True)
+    got = np.asarray(ref_score_step(cfg_q, gh, gw, params, *args))
+    assert got.shape == want.shape
+    # tiny 2+2-layer stack: int8 noise stays small and must not
+    # reorder the per-row proposal ranking
+    np.testing.assert_allclose(got, want, atol=0.15)
+    assert np.array_equal(np.argsort(got, -1), np.argsort(want, -1))
+
+
 @pytest.mark.slow
 def test_int8_on_trained_weights():
     """Accuracy on TRAINED weights (the metric that matters): train the

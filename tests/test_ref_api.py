@@ -308,3 +308,30 @@ def test_score_multi_images_all_context(tiny, monkeypatch):
         out = scorer.score_multi_images(imgs, [None, None], ["a"],
                                         pad_token_id=0)
         assert out == []
+
+
+def test_quant_prefill_tracks_float(tiny, monkeypatch):
+    """RefScorer(quant_prefill=True): the dynamic-int8 prefill
+    (RefCfg.quant_int8 -> ops/int8.py) must track the float scorer and
+    preserve per-query proposal ranking on the tiny config."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    common = dict(cfg=cfg, params=params, tokenizer=FakeTok(),
+                  seq_buckets=(64, 128), query_batch=2,
+                  max_proposals=3, device_patchify=False)
+    img = np.zeros((64, 64, 3), np.uint8)
+    props = np.array([[0, 0, 30, 30], [10, 10, 60, 60],
+                      [5, 20, 40, 64]], np.float32)
+    f = RefScorer(**common).score(img, props, ["red box", "dog"],
+                                  pad_token_id=0)
+    q = RefScorer(quant_prefill=True, **common).score(
+        img, props, ["red box", "dog"], pad_token_id=0)
+    np.testing.assert_allclose(q, f, atol=0.05)
+    assert np.array_equal(np.argsort(q, -1), np.argsort(f, -1))

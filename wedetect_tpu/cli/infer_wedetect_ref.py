@@ -20,7 +20,8 @@ def _run_generate(args, img):
 
     cfg, params, tok = load_ref(args.ref_checkpoint)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
-                       quantize_decode=args.int8_decode)
+                       quantize_decode=args.int8_decode,
+                       quant_prefill=args.int8_prefill)
     text = scorer.generate_text(
         img, args.generate, max_new_tokens=args.max_new_tokens,
         temperature=args.temperature,
@@ -47,6 +48,10 @@ def parse_args(argv=None):
                         "checkpoints; models/ref_generate)")
     p.add_argument("--max_new_tokens", type=int, default=64)
     p.add_argument("--temperature", type=float, default=0.0)
+    p.add_argument("--int8-prefill", action="store_true",
+                   help="dynamic-int8 decoder/ViT prefill matmuls "
+                        "(ops/int8.py; compute-bound scoring at 2x "
+                        "MXU peak)")
     p.add_argument("--int8-decode", action="store_true",
                    help="weight-only int8 generation decode "
                         "(models/quant)")
@@ -88,7 +93,8 @@ def main(argv=None):
     from wedetect_tpu.cli._ref_load import load_ref
 
     cfg, params, tok = load_ref(args.ref_checkpoint)
-    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
+                       quant_prefill=args.int8_prefill)
     scores = scorer.score(img, boxes, [args.query])[0]
 
     if args.score_thre < 0:

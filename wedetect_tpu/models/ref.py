@@ -204,9 +204,11 @@ class RefModules(nn.Module):
                                   grid_w=self.grid_w,
                                   grid_t=self.grid_t, dtype=self.dtype,
                                   attn_impl=self.attn_impl,
+                                  quant=self.cfg.quant_int8,
                                   name="vision")
         self.text = TextModel(self.cfg.text, dtype=self.dtype,
                               attn_impl=self.attn_impl,
+                              quant=self.cfg.quant_int8,
                               name="text")
         self.embed = Embedder(self.cfg.text, dtype=self.dtype,
                               name="embed")

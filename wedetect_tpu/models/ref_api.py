@@ -70,10 +70,16 @@ class RefScorer:
     # instead of full-precision, ~4x (f32) / 2x (bf16) less weight
     # traffic per generated token; prefill/scoring stay full precision
     quantize_decode: bool = False
+    # dynamic int8 for the compute-bound PREFILL/scoring matmuls
+    # (decoder + ViT; ops/int8.py via RefCfg.quant_int8) — independent
+    # of quantize_decode and composable with it
+    quant_prefill: bool = False
     _decode_params: object = dataclasses.field(
         default=None, init=False, repr=False)
 
     def __post_init__(self):
+        if self.quant_prefill and not self.cfg.quant_int8:
+            self.cfg = dataclasses.replace(self.cfg, quant_int8=True)
         # fail LOUDLY at construction on a mis-sized bucket: a kv
         # length that the flash kernels cannot tile would silently
         # drop every prefill to the O(L^2)-memory einsum path.

@@ -84,6 +84,11 @@ class RefCfg:
     video_token_id: int = 151656
     vision_start_token_id: int = 151652
     object_token_id: int = 151665
+    # dynamic-int8 decoder/ViT matmuls for the compute-bound prefill
+    # (inference-only serving mode; ops/int8.py — 2x MXU peak). The
+    # generation DECODE path is bandwidth-bound and has its own
+    # weight-only int8 mode (models/quant) — the two compose.
+    quant_int8: bool = False
 
     @classmethod
     def from_hf_config(cls, hf) -> "RefCfg":
@@ -209,15 +214,21 @@ class VisionBlock(nn.Module):
     cfg: RefVisionCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, valid=None):
         c = self.cfg
+        dg = None
+        if self.quant:
+            from wedetect_tpu.ops.int8 import quant_dot_general
+            dg = quant_dot_general
         s, _ = x.shape
         h, d = c.heads, c.head_dim
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm1")(x).astype(self.dtype)
-        qkv = nn.Dense(3 * c.hidden, dtype=self.dtype, name="qkv")(y)
+        qkv = nn.Dense(3 * c.hidden, dtype=self.dtype, dot_general=dg,
+                       name="qkv")(y)
         q, k, v = (t.reshape(s, h, d)
                    for t in jnp.split(qkv, 3, axis=-1))
         q, k = _apply_rope(q, k, cos[:, None, :], sin[:, None, :])
@@ -225,15 +236,17 @@ class VisionBlock(nn.Module):
             q[None], k[None], v[None], causal=False,
             kv_valid=None if valid is None else valid[None],
             sm_scale=1.0 / math.sqrt(d), impl=self.attn_impl)[0]
-        o = nn.Dense(c.hidden, dtype=self.dtype,
+        o = nn.Dense(c.hidden, dtype=self.dtype, dot_general=dg,
                      name="proj")(o.reshape(s, c.hidden))
         x = x + o
         y = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="norm2")(x).astype(self.dtype)
-        y = nn.Dense(c.intermediate, dtype=self.dtype, name="fc1")(y)
+        y = nn.Dense(c.intermediate, dtype=self.dtype, dot_general=dg,
+                     name="fc1")(y)
         y = jax.nn.gelu(y.astype(jnp.float32),
                         approximate=True).astype(self.dtype)
-        y = nn.Dense(c.hidden, dtype=self.dtype, name="fc2")(y)
+        y = nn.Dense(c.hidden, dtype=self.dtype, dot_general=dg,
+                     name="fc2")(y)
         return x + y
 
 
@@ -276,6 +289,7 @@ class VisionModel(nn.Module):
     grid_t: int = 1
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, patches, grid_h: Optional[int] = None,
@@ -329,6 +343,7 @@ class VisionModel(nn.Module):
         for i in range(c.depth):
             x = VisionBlock(c, dtype=self.dtype,
                             attn_impl=self.attn_impl,
+                            quant=self.quant,
                             name=f"block{i}")(x, cos, sin, valid)
             if i in c.deepstack_idx:
                 j = c.deepstack_idx.index(i)
@@ -375,19 +390,27 @@ class TextLayer(nn.Module):
     cfg: RefTextCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, cos, sin, kv_valid, prefix_kv=None,
                  return_kv=False):
         c = self.cfg
+        dg = None
+        if self.quant:
+            from wedetect_tpu.ops.int8 import quant_dot_general
+            dg = quant_dot_general
         b, l, _ = x.shape
         y = RMSNorm(c.rms_eps, dtype=self.dtype, name="input_ln")(x)
         q = nn.Dense(c.heads * c.head_dim, use_bias=False,
-                     dtype=self.dtype, name="q_proj")(y)
+                     dtype=self.dtype, dot_general=dg,
+                     name="q_proj")(y)
         k = nn.Dense(c.kv_heads * c.head_dim, use_bias=False,
-                     dtype=self.dtype, name="k_proj")(y)
+                     dtype=self.dtype, dot_general=dg,
+                     name="k_proj")(y)
         v = nn.Dense(c.kv_heads * c.head_dim, use_bias=False,
-                     dtype=self.dtype, name="v_proj")(y)
+                     dtype=self.dtype, dot_general=dg,
+                     name="v_proj")(y)
         q = RMSNorm(c.rms_eps, dtype=self.dtype, name="q_norm")(
             q.reshape(b, l, c.heads, c.head_dim))
         k = RMSNorm(c.rms_eps, dtype=self.dtype, name="k_norm")(
@@ -409,14 +432,16 @@ class TextLayer(nn.Module):
             q, k, v, causal=True, kv_valid=kv_valid,
             sm_scale=1.0 / math.sqrt(c.head_dim), impl=self.attn_impl)
         o = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
-                     name="o_proj")(o.reshape(b, l, -1))
+                     dot_general=dg, name="o_proj")(o.reshape(b, l, -1))
         x = x + o
         y = RMSNorm(c.rms_eps, dtype=self.dtype, name="post_ln")(x)
         gate = nn.Dense(c.intermediate, use_bias=False,
-                        dtype=self.dtype, name="gate_proj")(y)
+                        dtype=self.dtype, dot_general=dg,
+                        name="gate_proj")(y)
         up = nn.Dense(c.intermediate, use_bias=False, dtype=self.dtype,
-                      name="up_proj")(y)
+                      dot_general=dg, name="up_proj")(y)
         y = nn.Dense(c.hidden, use_bias=False, dtype=self.dtype,
+                     dot_general=dg,
                      name="down_proj")(jax.nn.silu(gate) * up)
         out = x + y
         return (out, own_kv) if return_kv else out
@@ -433,6 +458,7 @@ class TextModel(nn.Module):
     cfg: RefTextCfg
     dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    quant: bool = False
 
     def setup(self):
         # setattr with the exact historical names ("layer{i}", "norm")
@@ -441,7 +467,8 @@ class TextModel(nn.Module):
         for i in range(c.layers):
             setattr(self, f"layer{i}",
                     TextLayer(c, dtype=self.dtype,
-                              attn_impl=self.attn_impl))
+                              attn_impl=self.attn_impl,
+                              quant=self.quant))
         self.norm = RMSNorm(c.rms_eps, dtype=self.dtype)
 
     @property
