@@ -279,7 +279,8 @@ def test_ref_grounding_parity_multi_image(ref_model, rng):
 
 
 def _run_width_parity(mod, vis_depth, deepstack, txt_layers, vocab,
-                      hidden=2048, heads=16, intermediate=6144):
+                      hidden=2048, heads=16, intermediate=6144,
+                      int8_check=False):
     """End-to-end golden at FULL production widths (ViT hidden 1024,
     head_dim 128, mrope [24,20,20] — reference wedetect_ref configs;
     decoder widths parametrized: 2048=2B, 2560=4B, >4000=the
@@ -376,13 +377,34 @@ def _run_width_parity(mod, vis_depth, deepstack, txt_layers, vocab,
     np.testing.assert_allclose(np.asarray(got), want_obj, rtol=2e-3,
                                atol=2e-3)
 
+    if int8_check:
+        # dynamic-int8 prefill at PRODUCTION widths on real patches:
+        # per-channel dims (2048 hidden / 6144 ffn) drive the int8
+        # scale granularity; logits must track float and preserve the
+        # per-row proposal ranking
+        import dataclasses as _dc
+        cfg_q = _dc.replace(cfg, quant_int8=True)
+        got_q = ref_score_step(
+            cfg_q, gh, gw, params, jnp.asarray(patches),
+            jnp.asarray(input_ids.astype(np.int32)),
+            jnp.asarray(np.ones((2, l), np.int32)),
+            jnp.asarray(pos_ids.astype(np.int32)), 3,
+            jnp.asarray(boxes),
+            jnp.asarray(np.array([ow, oh], np.float32)),
+            jnp.asarray(np.broadcast_to(obj_pos[None], (2, n_obj))
+                        .astype(np.int32)))
+        gq, gf = np.asarray(got_q), np.asarray(got)
+        np.testing.assert_allclose(gq, gf, atol=0.35)
+        assert np.array_equal(np.argsort(gq, -1), np.argsort(gf, -1))
+
 
 def test_ref_grounding_parity_2b_widths(ref_model):
     """Production 2B widths at reduced depth (~43 s). Measured
-    maxabs 3.8e-6."""
+    maxabs 3.8e-6. Also checks the dynamic-int8 prefill at these
+    widths (real patches, ranking preserved)."""
     _, _, mod = ref_model
     _run_width_parity(mod, vis_depth=2, deepstack=(0, 1),
-                      txt_layers=2, vocab=1024)
+                      txt_layers=2, vocab=1024, int8_check=True)
 
 
 def test_ref_grounding_parity_4b_widths(ref_model):
