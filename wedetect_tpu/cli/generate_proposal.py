@@ -26,6 +26,9 @@ def parse_args(argv=None):
     p.add_argument("--save-npz", default="")
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 channel-mixing matmuls "
+                        "(serving mode; ops/int8.py)")
     return p.parse_args(argv)
 
 
@@ -41,6 +44,8 @@ def main(argv=None):
                          else "large" if args.wedetect_uni_checkpoint
                          else "base")
     kw = dict(compute_dtype="bfloat16") if args.bf16 else {}
+    if args.int8:
+        kw["quant_int8"] = True
     if args.random_init or not args.wedetect_uni_checkpoint:
         det = Detector.from_random(f"uni_{size}", **kw)
     else:

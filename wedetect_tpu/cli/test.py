@@ -30,6 +30,9 @@ def parse_args(argv=None):
     p.add_argument("--random-init", action="store_true")
     p.add_argument("--bf16", action="store_true", default=True)
     p.add_argument("--f32", dest="bf16", action="store_false")
+    p.add_argument("--int8", action="store_true",
+                   help="dynamic-int8 channel-mixing matmuls "
+                        "(serving mode; ops/int8.py)")
     p.add_argument("--tta", action="store_true",
                    help="horizontal-flip test-time augmentation "
                         "(reference test.py --tta)")
@@ -54,6 +57,8 @@ def main(argv=None):
     kw = dict(compute_dtype="bfloat16",
               num_classes=len(texts)) if args.bf16 else dict(
                   num_classes=len(texts))
+    if args.int8:
+        kw["quant_int8"] = True
     if args.random_init or not args.checkpoint:
         det = Detector.from_random(args.size, **kw)
         det.reparameterize(texts, embeds=np.random.default_rng(0)
