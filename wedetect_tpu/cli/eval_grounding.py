@@ -57,6 +57,9 @@ def parse_args(argv=None):
     p.add_argument("--single_box", action="store_true")
     p.add_argument("--max-items", type=int, default=0)
     p.add_argument("--batch-queries", type=int, default=8)
+    p.add_argument("--int8-prefill", action="store_true",
+                   help="dynamic-int8 decoder/ViT prefill matmuls "
+                        "(ops/int8.py)")
     p.add_argument("--grid-tokens", type=int, default=0,
                    help="snap images to fixed ~N-token grid buckets "
                         "(bounds jit recompiles; enables cross-image "
@@ -66,7 +69,7 @@ def parse_args(argv=None):
 
 
 def load_scorer(ckpt_dir: str, batch_queries: int,
-                grid_tokens: int = 0):
+                grid_tokens: int = 0, quant_prefill: bool = False):
     import dataclasses
     import glob
 
@@ -97,7 +100,8 @@ def load_scorer(ckpt_dir: str, batch_queries: int,
         buckets = tuple(make_grid_buckets(
             grid_tokens, cfg.vision.patch * cfg.vision.merge))
     return RefScorer(cfg=cfg, params=params, tokenizer=tok,
-                     query_batch=batch_queries, grid_buckets=buckets)
+                     query_batch=batch_queries, grid_buckets=buckets,
+                     quant_prefill=quant_prefill)
 
 
 def build_items(args):
@@ -307,7 +311,7 @@ def main(argv=None):
     proposals_map = (json.load(open(args.proposals))
                      if args.proposals else {})
     scorer = load_scorer(args.ref_checkpoint, args.batch_queries,
-                         args.grid_tokens)
+                         args.grid_tokens, args.int8_prefill)
 
     shard = [items[i] for i in process_shard(len(items))]
     if args.max_items:
