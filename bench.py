@@ -143,12 +143,18 @@ def _ref_random_params(cfg, gh, gw, proposals=100, queries=8,
         for i, s in enumerate(leaves)])
 
 
-def bench_rec(images=8, proposals=100, trials=3):
+def bench_rec(images=32, proposals=100, trials=3):
     """The reference's ACTUAL FPS protocol (refcoco REC): ONE query
     per image, scored end-to-end from the uint8 image through host
     Qwen preprocessing, vision tower, prefix-sharing prefill and the
     binary head — cross-image batched via RefScorer.score_rec.
-    queries/s compares against the 6.6 FPS 2B baseline."""
+    queries/s compares against the 6.6 FPS 2B baseline.
+
+    32 images = 4 pipelined b=8 chunks per score_rec call, so the
+    per-call transport round-trip (dispatch floor + readback, 30-200
+    ms run-to-run on this tunnel — PERF.md "Transport sensitivity")
+    amortizes the way it does on a real eval shard, instead of being
+    fully exposed on a single-chunk call."""
     from wedetect_tpu.models.ref_api import RefScorer
     from wedetect_tpu.nn.qwen3vl import ref_2b
 

@@ -1,0 +1,165 @@
+"""Continuous-batching generation engine (models/serve).
+
+Pins token-exact agreement between GenServer (slot pool, per-row cache
+depths, chunked decode, mid-run admission) and per-request
+ref_generate greedy decode — more requests than slots, ragged prompt
+lengths, per-request images."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from wedetect_tpu.models.ref import RefModules
+from wedetect_tpu.models.ref_generate import ref_generate
+from wedetect_tpu.models.serve import GenServer
+from wedetect_tpu.nn.qwen3vl import (RefCfg, RefTextCfg, RefVisionCfg,
+                                     get_rope_index_single_image)
+
+
+def tiny_cfg():
+    return RefCfg(
+        vision=RefVisionCfg(depth=2, hidden=32, heads=4,
+                            intermediate=64, patch=4, temporal_patch=2,
+                            merge=2, out_hidden=48, num_pos_emb=64,
+                            deepstack_idx=(0, 1)),
+        text=RefTextCfg(vocab_size=96, hidden=48, layers=2, heads=4,
+                        kv_heads=2, head_dim=16, intermediate=96,
+                        rope_theta=1000.0, mrope_section=(4, 2, 2)),
+        image_token_id=90, vision_start_token_id=91,
+        object_token_id=92)
+
+
+def build_prompt(cfg, gh, gw, tail, rng):
+    n_img = (gh // 2) * (gw // 2)
+    ids = np.concatenate([
+        np.array([1, 91]), np.full(n_img, 90),
+        rng.integers(2, 80, tail)]).astype(np.int32)
+    pos = get_rope_index_single_image(ids, 90, gh, gw, 2)
+    return ids, pos
+
+
+def _trim(toks, eos, pad):
+    out = []
+    for t in np.asarray(toks).ravel():
+        if t in (eos, pad):
+            break
+        out.append(int(t))
+    return out
+
+
+def test_server_matches_per_request_ref_generate():
+    """5 requests (ragged real lengths, distinct images) through a
+    2-slot server with chunk=3 must emit, per request, exactly the
+    tokens a dedicated b=1 ref_generate call would — i.e. continuous
+    batching changes scheduling, never results. Admissions 2..4 only
+    happen after earlier rows finish mid-run, so slot reuse over a
+    dirty cache is exercised."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(0)
+    eos, pad, max_new = 95, 0, 6
+    n_req, p_pad = 5, 32
+
+    # params from one init (any prompt works for shape inference)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 5, rng)
+    patches0 = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(3), jnp.asarray(patches0),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    reqs = []
+    for r in range(n_req):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, 3 + r, rng)
+        patches_r = rng.standard_normal(
+            (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+        p_real = len(ids_r)
+        assert p_real <= p_pad
+        ids = np.zeros(p_pad, np.int32)
+        ids[:p_real] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :p_real] = pos_r
+        reqs.append((patches_r, ids, mask, pos,
+                     int(pos_r.max()) + 1))
+
+    expected = {}
+    for r, (patches_r, ids, mask, pos, np0) in enumerate(reqs):
+        toks = ref_generate(
+            cfg, gh, gw, params, jnp.asarray(patches_r),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None]), 2,
+            jnp.asarray([np0], np.int32), jnp.asarray(boxes),
+            jnp.asarray(ori), max_new, eos_id=eos, pad_id=pad)
+        expected[r] = _trim(toks, eos, pad)
+
+    srv = GenServer(cfg, gh, gw, params, slots=2, prompt_len=p_pad,
+                    max_new=max_new, chunk=3, eos_id=eos, pad_id=pad)
+    rids = [srv.submit(patches_r, ids, mask, pos, 2, np0)
+            for patches_r, ids, mask, pos, np0 in reqs]
+    out = srv.run()
+    assert set(out) == set(rids)
+    for r, rid in enumerate(rids):
+        assert list(out[rid]) == expected[r], \
+            f"request {r}: {list(out[rid])} != {expected[r]}"
+
+
+def test_server_step_incremental_and_slot_reuse():
+    """step() drains finished requests as they finish; a server with
+    ONE slot serializes requests through the same cache rows and still
+    matches ref_generate."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(1)
+    eos, pad, max_new = 95, 0, 4
+    p_pad = 32
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(5), jnp.asarray(patches),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    srv = GenServer(cfg, gh, gw, params, slots=1, prompt_len=p_pad,
+                    max_new=max_new, chunk=2, eos_id=eos, pad_id=pad)
+    rids, expected = [], {}
+    for r in range(2):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, 4 + r, rng)
+        p_real = len(ids_r)
+        ids = np.zeros(p_pad, np.int32)
+        ids[:p_real] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :p_real] = pos_r
+        np0 = int(pos_r.max()) + 1
+        toks = ref_generate(
+            cfg, gh, gw, params, jnp.asarray(patches),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None]), 2,
+            jnp.asarray([np0], np.int32), jnp.asarray(boxes),
+            jnp.asarray(ori), max_new, eos_id=eos, pad_id=pad)
+        rid = srv.submit(patches, ids, mask, pos, 2, np0)
+        rids.append(rid)
+        expected[rid] = _trim(toks, eos, pad)
+
+    seen = {}
+    for _ in range(20):
+        seen.update(srv.step())
+        if len(seen) == 2:
+            break
+    assert set(seen) == set(rids)
+    for rid in rids:
+        assert list(seen[rid]) == expected[rid]
