@@ -417,20 +417,8 @@ def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
     if int8:
         from wedetect_tpu.models.quant import quantize_decode_params
         dp = quantize_decode_params(params)
-    patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
-        * cfg.vision.patch ** 2
-    rng = np.random.default_rng(0)
-    patches = jnp.asarray(rng.standard_normal(
-        (gh * gw, patch_dim)).astype(np.float32))
-    n_img = (gh // 2) * (gw // 2)
-    ids = np.full((b, P), 11, np.int32)
-    ids[:, 4] = cfg.vision_start_token_id
-    ids[:, 5:5 + n_img] = cfg.image_token_id
-    real = 5 + n_img + 17
-    mask = np.zeros((b, P), np.int32)
-    mask[:, :real] = 1
-    pos = np.tile(np.arange(P)[None, None], (3, b, 1)).astype(np.int32)
-    args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pos), 5,
+    patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, b, P)
+    args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pos), vs,
             jnp.asarray(np.full((b,), real, np.int32)),
             jnp.asarray([[0.0, 0.0, 10.0, 10.0]]),
             jnp.asarray([960.0, 1280.0]))
@@ -457,6 +445,133 @@ def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
     del params, dp
     gc.collect()
     return tps
+
+
+def _gen_prompt(cfg, gh, gw, b, P, tail=17):
+    """Shared image-prompt construction for the generation benches:
+    right-padded (b, P) ids/mask with a vision span and `tail` text
+    tokens, plus flat [3, b, P] positions. Returns (patches, ids,
+    mask, pos, visual_start, real_len)."""
+    import jax.numpy as jnp
+
+    patch_dim = cfg.vision.in_ch * cfg.vision.temporal_patch \
+        * cfg.vision.patch ** 2
+    rng = np.random.default_rng(0)
+    patches = jnp.asarray(rng.standard_normal(
+        (gh * gw, patch_dim)).astype(np.float32))
+    n_img = (gh // 2) * (gw // 2)
+    ids = np.full((b, P), 11, np.int32)
+    ids[:, 4] = cfg.vision_start_token_id
+    ids[:, 5:5 + n_img] = cfg.image_token_id
+    real = 5 + n_img + tail
+    mask = np.zeros((b, P), np.int32)
+    mask[:, :real] = 1
+    pos = np.tile(np.arange(P)[None, None], (3, b, 1)).astype(np.int32)
+    return patches, ids, mask, pos, 5, real
+
+
+def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
+    """Prompt-lookup speculative decoding vs plain greedy decode
+    (b=1, bf16, 2B): tok/s for plain and spec_k in {4, 8}, asserting
+    the spec rows emit the exact plain-greedy tokens. NOT wired into
+    main() (2 extra multi-minute compiles); run directly to remeasure
+    the PERF.md "Speculative decoding" section. Acceptance-rate caveat
+    lives there: random-weight greedy cycles are the favorable
+    regime."""
+    import jax.numpy as jnp
+
+    from wedetect_tpu.models.ref_generate import ref_generate
+    from wedetect_tpu.models.ref_speculative import ref_generate_spec
+    from wedetect_tpu.nn.qwen3vl import ref_2b
+
+    if cfg is None:
+        cfg = ref_2b()
+    params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
+                                seq_len=P)
+    patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, 1, P)
+    common = (cfg, gh, gw, params, patches, jnp.asarray(ids),
+              jnp.asarray(mask), jnp.asarray(pos), vs,
+              jnp.asarray(np.full((1,), real, np.int32)),
+              jnp.asarray([[0.0, 0.0, 10.0, 10.0]]),
+              jnp.asarray([960.0, 1280.0]))
+
+    def t_plain():
+        return np.asarray(ref_generate(*common, new, 2,
+                                       temperature=0.0,
+                                       dtype=jnp.bfloat16))
+
+    def t_spec(k):
+        toks, steps = ref_generate_spec(*common, new, 2, spec_k=k,
+                                        dtype=jnp.bfloat16)
+        return np.asarray(toks), int(np.asarray(steps))
+
+    res = {}
+    toks_p = t_plain()
+    best = min(_timed(t_plain) for _ in range(trials))
+    res["plain_tok_s"] = round(new / best, 1)
+    for k in (4, 8):
+        toks_s, steps = t_spec(k)
+        assert (toks_p == toks_s).all(), "speculative not greedy-exact"
+        best = min(_timed(lambda: t_spec(k)) for _ in range(trials))
+        res[f"spec{k}_tok_s"] = round(new / best, 1)
+        res[f"spec{k}_steps"] = steps
+    print(f"# spec b=1: {res}", file=sys.stderr)
+    del params
+    gc.collect()
+    return res
+
+
+def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
+                P=384, chunks=(16, 32)):
+    """Continuous-batching GenServer sustained tok/s: nreq requests x
+    `new` tokens through a `slots`-slot server (bf16, 2B), admission +
+    prefill included in the wall time. Compare against bench_gen's
+    static-batch marginal rate. NOT wired into main(); run directly to
+    remeasure the PERF.md serving section."""
+    import jax.numpy as jnp
+
+    from wedetect_tpu.models.serve import GenServer
+    from wedetect_tpu.nn.qwen3vl import ref_2b
+
+    if cfg is None:
+        cfg = ref_2b()
+    params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
+                                seq_len=P)
+    patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, 1, P)
+    res = {}
+    for chunk in chunks:
+        def fill(srv, n):
+            for i in range(n):
+                m = mask[0].copy()
+                m[: real + (i % 8)] = 1          # ragged real lengths
+                srv.submit(patches, ids[0], m, pos[:, 0], vs,
+                           real + (i % 8))
+
+        srv = GenServer(cfg, gh, gw, params, slots=slots,
+                        prompt_len=P, max_new=new, chunk=chunk,
+                        eos_id=2, dtype=jnp.bfloat16)
+        fill(srv, 2)
+        srv.run()                                 # compile both paths
+        srv2 = GenServer(cfg, gh, gw, params, slots=slots,
+                         prompt_len=P, max_new=new, chunk=chunk,
+                         eos_id=2, dtype=jnp.bfloat16)
+        t0 = time.perf_counter()
+        fill(srv2, nreq)
+        out = srv2.run()
+        dt = time.perf_counter() - t0
+        total = sum(len(v) for v in out.values())
+        res[f"chunk{chunk}_tok_s"] = round(total / dt, 1)
+        print(f"# serve chunk={chunk}: {total} toks in {dt:.2f}s = "
+              f"{total / dt:.1f} tok/s", file=sys.stderr)
+    del params
+    gc.collect()
+    return res
+
+
+def _timed(f):
+    t0 = time.perf_counter()
+    f()
+    return time.perf_counter() - t0
 
 
 def main():
