@@ -1,9 +1,19 @@
 """Benchmark: WeDetect throughput on one chip.
 
-Prints ONE JSON line. The headline metric is WeDetect-Base @640, K=80
-end-to-end detection (reference baseline 35.1 FPS, BASELINE.md); the
-"sub" object carries the additional driver-captured rows VERDICT r1
-item 6 / r2 item 8 asked for:
+Prints the headline JSON line IMMEDIATELY after the headline row, then
+re-prints an updated line after every completed sub-row — the driver
+keeps the last parse, so a mid-run timeout can no longer zero the
+record (VERDICT r3 item 1: BENCH_r03 was rc=124/parsed=null). Rows are
+ordered required-first (tiny/large/K=1280/int8/ref2b/ref4b/gen/serve,
+the r2-era set) and each is gated on a wall-clock budget
+(WEDETECT_BENCH_BUDGET seconds, default 2100) using per-row cost
+estimates, so the process exits 0 under a driver timeout instead of
+being killed mid-compile. `--row NAME` runs a single row.
+
+The headline metric is WeDetect-Base @640, K=80 end-to-end detection
+(reference baseline 35.1 FPS, BASELINE.md); the "sub" object carries
+the additional driver-captured rows VERDICT r1 item 6 / r2 item 8
+asked for:
   - wedetect_tiny_640_img_per_s (baseline 62.5 FPS)
   - wedetect_large_1280_img_per_s (baseline 6.0 FPS)
   - wedetect_base_640_k1280_img_per_s (LVIS-scale vocabulary)
@@ -24,6 +34,7 @@ serialized via a 1-byte data dependency and synced once per trial).
 
 import gc
 import json
+import os
 import sys
 import time
 
@@ -427,10 +438,16 @@ def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
         out = ref_generate(cfg, gh, gw, params, patches, *args,
                            max_new, 2, temperature=0.0,
                            dtype=jnp.bfloat16, decode_params=dp)
-        np.asarray(out)      # sync (block_until_ready lies here)
+        # sync (block_until_ready lies here); count actual emitted
+        # tokens — the scan's wall time is always max_new steps, but
+        # an early random-weights EOS would pad the output, making
+        # "tok/s" count junk. Assert it away instead of dividing.
+        return int((np.asarray(out) != 0).sum())
 
     def timeit(max_new):
-        run(max_new)         # compile + warm
+        n = run(max_new)     # compile + warm
+        assert n == b * max_new, \
+            f"early EOS under random weights ({n} != {b * max_new})"
         best = float("inf")
         for _ in range(trials):
             t0 = time.perf_counter()
@@ -507,13 +524,19 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 
     res = {}
     toks_p = t_plain()
+    # tok/s = DELIVERED tokens / wall for both rows: the spec
+    # while_loop early-exits on EOS while the plain scan always runs
+    # `new` steps, so dividing both by `new` would inflate only the
+    # spec rate if random weights emit an early EOS (ADVICE r3).
+    n_emit = int((toks_p != 0).sum())
     best = min(_timed(t_plain) for _ in range(trials))
-    res["plain_tok_s"] = round(new / best, 1)
+    res["emitted"] = n_emit
+    res["plain_tok_s"] = round(n_emit / best, 1)
     for k in (4, 8):
         toks_s, steps = t_spec(k)
         assert (toks_p == toks_s).all(), "speculative not greedy-exact"
         best = min(_timed(lambda: t_spec(k)) for _ in range(trials))
-        res[f"spec{k}_tok_s"] = round(new / best, 1)
+        res[f"spec{k}_tok_s"] = round(n_emit / best, 1)
         res[f"spec{k}_steps"] = steps
     print(f"# spec b=1: {res}", file=sys.stderr)
     del params
@@ -538,19 +561,22 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
     params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
                                 seq_len=P)
     patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, 1, P)
+
+    def fill(srv, n):
+        for i in range(n):
+            m = mask[0].copy()
+            m[: real + (i % 8)] = 1              # ragged real lengths
+            srv.submit(patches, ids[0], m, pos[:, 0], vs,
+                       real + (i % 8))
+
     res = {}
     for chunk in chunks:
-        def fill(srv, n):
-            for i in range(n):
-                m = mask[0].copy()
-                m[: real + (i % 8)] = 1          # ragged real lengths
-                srv.submit(patches, ids[0], m, pos[:, 0], vs,
-                           real + (i % 8))
-
         srv = GenServer(cfg, gh, gw, params, slots=slots,
                         prompt_len=P, max_new=new, chunk=chunk,
                         eos_id=2, dtype=jnp.bfloat16)
-        fill(srv, 2)
+        # warm with slots-many submissions so every ragged length and
+        # slot index seen in the timed run is exercised (ADVICE r3)
+        fill(srv, slots)
         srv.run()                                 # compile both paths
         srv2 = GenServer(cfg, gh, gw, params, slots=slots,
                          prompt_len=P, max_new=new, chunk=chunk,
@@ -580,82 +606,119 @@ def main():
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
     quick = "--quick" in sys.argv  # headline row only, fewer iters
-
-    base = bench_detect("base", 80,
-                        ((8,) if quick else (8, 16)) if on_tpu else (1,),
-                        (5 if quick else 15) if on_tpu else 2)
-    sub = {}
-    if on_tpu and not quick:
-        try:
-            tiny = bench_detect("tiny", 80, (8,), 5)
-            sub["wedetect_tiny_640_img_per_s"] = round(tiny, 2)
-            sub["tiny_vs_baseline"] = round(tiny / 62.5, 3)
-        except Exception as e:
-            print(f"# tiny bench failed: {e!r}", file=sys.stderr)
-        try:
-            large = bench_detect("large", 80, (8,), 5)
-            sub["wedetect_large_1280_img_per_s"] = round(large, 2)
-            sub["large_vs_baseline"] = round(large / 6.0, 3)
-        except Exception as e:
-            print(f"# large bench failed: {e!r}", file=sys.stderr)
-        try:
-            k1280 = bench_detect("base", 1280, (8,), 5)
-            sub["wedetect_base_640_k1280_img_per_s"] = round(k1280, 2)
-        except Exception as e:
-            print(f"# k1280 bench failed: {e!r}", file=sys.stderr)
-        try:
-            i8 = bench_detect("base", 80, (8,), 5, quant=True)
-            sub["wedetect_base_640_int8_img_per_s"] = round(i8, 2)
-        except Exception as e:
-            print(f"# int8 bench failed: {e!r}", file=sys.stderr)
-        try:
-            # production path (RefScorer default): prefix sharing
-            qps = bench_ref(split=True)
-            sub["ref2b_queries_per_s"] = round(qps, 2)
-            sub["ref2b_vs_baseline"] = round(qps / 6.6, 3)
-        except Exception as e:
-            print(f"# ref split bench failed: {e!r}", file=sys.stderr)
-        # (the joint L=2048 flash row — 18.4 q/s — is documented in
-        # PERF.md; it is omitted here to keep the driver bench's
-        # compile count bounded. Run bench_ref() directly to remeasure.)
-        try:
-            qi8 = bench_ref(split=True, quant=True)
-            sub["ref2b_int8_queries_per_s"] = round(qi8, 2)
-        except Exception as e:
-            print(f"# ref int8 bench failed: {e!r}", file=sys.stderr)
-        try:
-            qps4 = bench_ref(variant="4b", iters=3, split=True)
-            sub["ref4b_queries_per_s"] = round(qps4, 2)
-            sub["ref4b_vs_baseline"] = round(qps4 / 5.3, 3)
-        except Exception as e:
-            print(f"# ref4b bench failed: {e!r}", file=sys.stderr)
-        try:
-            # the reference's actual FPS protocol: 1 query per image
-            rec = bench_rec()
-            sub["rec_1q_queries_per_s"] = round(rec, 2)
-            sub["rec_1q_vs_baseline"] = round(rec / 6.6, 3)
-        except Exception as e:
-            print(f"# rec bench failed: {e!r}", file=sys.stderr)
-        try:
-            e2e = bench_e2e()
-            sub["e2e_eval_img_per_s"] = round(e2e, 2)
-        except Exception as e:
-            print(f"# e2e bench failed: {e!r}", file=sys.stderr)
-        try:
-            sub["gen2b_bf16_tok_per_s"] = round(bench_gen(b=8), 1)
-            sub["gen2b_int8_tok_per_s"] = round(
-                bench_gen(b=8, int8=True), 1)
-        except Exception as e:
-            print(f"# gen bench failed: {e!r}", file=sys.stderr)
-
+    only = None
+    if "--row" in sys.argv:
+        only = sys.argv[sys.argv.index("--row") + 1]
+    budget = float(os.environ.get("WEDETECT_BENCH_BUDGET", "2100"))
+    t_start = time.monotonic()
     baseline = 35.1  # reference WeDetect-Base FPS (BASELINE.md)
-    print(json.dumps({
-        "metric": "wedetect_base_640_img_per_s",
-        "value": round(base, 2),
-        "unit": "img/s",
-        "vs_baseline": round(base / baseline, 3),
-        "sub": sub,
-    }))
+    sub = {}
+
+    def emit(base):
+        # re-printed after every row; the driver keeps the LAST parse,
+        # so a timeout mid-row can no longer blank the record
+        print(json.dumps({
+            "metric": "wedetect_base_640_img_per_s",
+            "value": round(base, 2),
+            "unit": "img/s",
+            "vs_baseline": round(base / baseline, 3),
+            "sub": sub,
+        }), flush=True)
+
+    base = 0.0
+    if only is None or only == "base":
+        base = bench_detect(
+            "base", 80,
+            ((8,) if quick else (8, 16)) if on_tpu else (1,),
+            (5 if quick else 15) if on_tpu else 2)
+        emit(base)
+    if quick or not on_tpu:
+        return
+
+    def row_tiny():
+        v = bench_detect("tiny", 80, (8,), 5)
+        sub["wedetect_tiny_640_img_per_s"] = round(v, 2)
+        sub["tiny_vs_baseline"] = round(v / 62.5, 3)
+
+    def row_large():
+        v = bench_detect("large", 80, (8,), 5)
+        sub["wedetect_large_1280_img_per_s"] = round(v, 2)
+        sub["large_vs_baseline"] = round(v / 6.0, 3)
+
+    def row_k1280():
+        sub["wedetect_base_640_k1280_img_per_s"] = round(
+            bench_detect("base", 1280, (8,), 5), 2)
+
+    def row_int8():
+        sub["wedetect_base_640_int8_img_per_s"] = round(
+            bench_detect("base", 80, (8,), 5, quant=True), 2)
+
+    def row_ref2b():
+        # production path (RefScorer default): prefix sharing. (The
+        # joint L=2048 flash row is documented in PERF.md; omitted
+        # here to bound the driver bench's compile count.)
+        v = bench_ref(split=True)
+        sub["ref2b_queries_per_s"] = round(v, 2)
+        sub["ref2b_vs_baseline"] = round(v / 6.6, 3)
+
+    def row_ref4b():
+        v = bench_ref(variant="4b", iters=3, split=True)
+        sub["ref4b_queries_per_s"] = round(v, 2)
+        sub["ref4b_vs_baseline"] = round(v / 5.3, 3)
+
+    def row_gen():
+        sub["gen2b_bf16_tok_per_s"] = round(bench_gen(b=8), 1)
+
+    def row_serve():
+        r = bench_serve(chunks=(32,))
+        sub["serve2b_tok_per_s"] = r["chunk32_tok_s"]
+
+    def row_ref2b_int8():
+        sub["ref2b_int8_queries_per_s"] = round(
+            bench_ref(split=True, quant=True), 2)
+
+    def row_gen_int8():
+        sub["gen2b_int8_tok_per_s"] = round(bench_gen(b=8, int8=True), 1)
+
+    def row_rec():
+        # the reference's actual FPS protocol: 1 query per image
+        v = bench_rec()
+        sub["rec_1q_queries_per_s"] = round(v, 2)
+        sub["rec_1q_vs_baseline"] = round(v / 6.6, 3)
+
+    def row_e2e():
+        sub["e2e_eval_img_per_s"] = round(bench_e2e(), 2)
+
+    # (name, worst-case cost estimate in s, fn) — required rows first
+    # (the r2-era set VERDICT r3 item 1 lists), noisy host-in-the-loop
+    # rows last. Estimates are generous cold-compile wall times.
+    rows = [
+        ("tiny", 90, row_tiny),
+        ("large", 130, row_large),
+        ("k1280", 110, row_k1280),
+        ("int8", 120, row_int8),
+        ("ref2b", 260, row_ref2b),
+        ("ref4b", 380, row_ref4b),
+        ("gen", 330, row_gen),
+        ("serve", 330, row_serve),
+        ("ref2b_int8", 260, row_ref2b_int8),
+        ("gen_int8", 260, row_gen_int8),
+        ("rec", 220, row_rec),
+        ("e2e", 160, row_e2e),
+    ]
+    for name, est, fn in rows:
+        if only is not None and name != only:
+            continue
+        elapsed = time.monotonic() - t_start
+        if only is None and elapsed + est > budget:
+            print(f"# skip {name}: {elapsed:.0f}s elapsed + ~{est}s "
+                  f"> {budget:.0f}s budget", file=sys.stderr)
+            continue
+        try:
+            fn()
+        except Exception as e:
+            print(f"# {name} bench failed: {e!r}", file=sys.stderr)
+        emit(base)
 
 
 if __name__ == "__main__":

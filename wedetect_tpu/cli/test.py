@@ -39,6 +39,11 @@ def parse_args(argv=None):
     p.add_argument("--lvis", action="store_true",
                    help="LVIS fixed-AP protocol (neg/not-exhaustive\n                   image domains, per-class cap, APr/c/f)")
     p.add_argument("--out", default="")
+    p.add_argument("--dump", default="",
+                   help="write raw per-image predictions (boxes/scores/"
+                        "labels/embeds, eval/dump.py .npz layout) for "
+                        "offline metric recompute — DumpDetResults "
+                        "role (reference test.py:29,143)")
     return p.parse_args(argv)
 
 
@@ -75,7 +80,8 @@ def main(argv=None):
                             batch_size=args.batch_size,
                             max_images=args.max_images or None,
                             progress=True, lvis=args.lvis,
-                            tta=args.tta)
+                            tta=args.tta,
+                            dump_path=args.dump or None)
     print(json.dumps(metrics, indent=2))
     if args.out:
         with open(args.out, "w") as f:

@@ -13,6 +13,7 @@ multihost_utils.process_allgather merge when running multi-host.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional
 
 import jax
@@ -39,10 +40,15 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
                   class_mask=None, max_images: Optional[int] = None,
                   progress: bool = False,
                   lvis: bool = False,
-                  tta: bool = False) -> Dict[str, float]:
+                  tta: bool = False,
+                  dump_path: Optional[str] = None) -> Dict[str, float]:
     """Run the detector over the dataset and compute COCO (or LVIS
     fixed-AP) bbox metrics. tta=True adds the horizontal-flip view
-    and merges per DetTTAModel semantics (reference test.py --tta)."""
+    and merges per DetTTAModel semantics (reference test.py --tta).
+    dump_path writes every image's raw predictions (boxes/scores/
+    labels/embeds, eval/dump.py layout) — the DumpDetResults role
+    (reference test.py:29,143); multi-host, rank 0 writes the merged
+    dump."""
     import jax.numpy as jnp
 
     from wedetect_tpu.models.wedetect import detect_step_tta
@@ -68,14 +74,18 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
     # readback pays a full transport round trip; measured 503 -> 349
     # ms/batch on the tunneled bench rig, and still one less RPC on
     # local PCIe)
-    @jax.jit
-    def _pack(det):
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def _pack(det, with_embeds):
         import jax.numpy as jnp
 
-        return jnp.concatenate(
-            [det.boxes, det.scores[..., None],
-             det.labels[..., None].astype(jnp.float32),
-             det.valid[..., None].astype(jnp.float32)], -1)
+        cols = [det.boxes, det.scores[..., None],
+                det.labels[..., None].astype(jnp.float32),
+                det.valid[..., None].astype(jnp.float32)]
+        if with_embeds:
+            cols.append(det.embeds.astype(jnp.float32))
+        return jnp.concatenate(cols, -1)
+
+    dump_records: List[dict] = []
 
     def consume(packed, batch):
         packed = np.asarray(packed)
@@ -85,6 +95,12 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
         valid = packed[..., 6].astype(bool)
         for i, idx in enumerate(batch["idxs"]):
             v = valid[i]
+            if dump_path is not None:
+                dump_records.append({
+                    "img_id": ds.items[idx]["img_id"],
+                    "boxes": boxes[i][v], "scores": scores[i][v],
+                    "labels": labels[i][v],
+                    "embeds": packed[i, :, 7:][v]})
             if lvis:
                 item = ds.items[idx]
                 evaluator.add_image(
@@ -110,7 +126,7 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
             jnp.asarray(batch["ori_shape"]), class_mask)
         if pending is not None:
             consume(*pending)
-        pending = (_pack(det), batch)
+        pending = (_pack(det, dump_path is not None), batch)
         if progress and bi % 20 == 0:
             print(f"eval {bi}/{len(loader)}", flush=True)
     if pending is not None:
@@ -123,4 +139,11 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
 
         all_records = all_gather_object(evaluator._records)
         evaluator._records = [r for part in all_records for r in part]
+        if dump_path is not None:
+            parts = all_gather_object(dump_records)
+            dump_records = [r for part in parts for r in part]
+    if dump_path is not None and jax.process_index() == 0:
+        from wedetect_tpu.eval.dump import save_detections
+
+        save_detections(dump_path, dump_records)
     return evaluator.summarize()
