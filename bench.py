@@ -489,12 +489,15 @@ def _gen_prompt(cfg, gh, gw, b, P, tail=17):
 
 def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
     """Prompt-lookup speculative decoding vs plain greedy decode
-    (b=1, bf16, 2B): tok/s for plain and spec_k in {4, 8}, asserting
-    the spec rows emit the exact plain-greedy tokens. NOT wired into
-    main() (2 extra multi-minute compiles); run directly to remeasure
-    the PERF.md "Speculative decoding" section. Acceptance-rate caveat
-    lives there: random-weight greedy cycles are the favorable
-    regime."""
+    (b=1, bf16, 2B): tok/s for plain and spec_k in {4, 8} PLUS the
+    acceptance-collapse bound (force_reject=True: every K-wide verify
+    emits one token — what non-repetitive text produces), asserting
+    every spec row emits the exact plain-greedy tokens. Acceptance is
+    reported per row (emitted / verify steps). NOT wired into main()
+    (extra multi-minute compiles); run directly to remeasure the
+    PERF.md "Speculative decoding" section. Regime caveat lives there:
+    random-weight greedy cycles are the favorable regime; the
+    force_reject row is the honest floor."""
     import jax.numpy as jnp
 
     from wedetect_tpu.models.ref_generate import ref_generate
@@ -517,9 +520,10 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
                                        temperature=0.0,
                                        dtype=jnp.bfloat16))
 
-    def t_spec(k):
+    def t_spec(k, force_reject=False):
         toks, steps = ref_generate_spec(*common, new, 2, spec_k=k,
-                                        dtype=jnp.bfloat16)
+                                        dtype=jnp.bfloat16,
+                                        force_reject=force_reject)
         return np.asarray(toks), int(np.asarray(steps))
 
     res = {}
@@ -538,6 +542,15 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
         best = min(_timed(lambda: t_spec(k)) for _ in range(trials))
         res[f"spec{k}_tok_s"] = round(n_emit / best, 1)
         res[f"spec{k}_steps"] = steps
+        res[f"spec{k}_accept"] = round(n_emit / steps, 2)
+    # acceptance-collapse floor: every draft rejected, each step is
+    # still a K-wide verify forward (K=8, the worse case of the two)
+    toks_r, steps_r = t_spec(8, force_reject=True)
+    assert (toks_p == toks_r).all(), "force_reject not greedy-exact"
+    best = min(_timed(lambda: t_spec(8, force_reject=True))
+               for _ in range(trials))
+    res["spec8_reject_tok_s"] = round(n_emit / best, 1)
+    res["spec8_reject_steps"] = steps_r
     print(f"# spec b=1: {res}", file=sys.stderr)
     del params
     gc.collect()
@@ -578,17 +591,42 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         # slot index seen in the timed run is exercised (ADVICE r3)
         fill(srv, slots)
         srv.run()                                 # compile both paths
-        srv2 = GenServer(cfg, gh, gw, params, slots=slots,
-                         prompt_len=P, max_new=new, chunk=chunk,
-                         eos_id=2, dtype=jnp.bfloat16)
-        t0 = time.perf_counter()
-        fill(srv2, nreq)
-        out = srv2.run()
-        dt = time.perf_counter() - t0
-        total = sum(len(v) for v in out.values())
+
+        def timed_run(pipeline):
+            srv2 = GenServer(cfg, gh, gw, params, slots=slots,
+                             prompt_len=P, max_new=new, chunk=chunk,
+                             eos_id=2, dtype=jnp.bfloat16)
+            t0 = time.perf_counter()
+            fill(srv2, nreq)
+            out = srv2.run(pipeline=pipeline)
+            dt = time.perf_counter() - t0
+            total = sum(len(v) for v in out.values())
+            return srv2, total, dt
+
+        srv2, total, dt = timed_run(True)
+        steps = srv2.stats["chunks"] * chunk * slots
         res[f"chunk{chunk}_tok_s"] = round(total / dt, 1)
+        res[f"chunk{chunk}_occupancy"] = round(total / steps, 3)
+        _, total_s, dt_s = timed_run(False)
+        res[f"chunk{chunk}_sync_tok_s"] = round(total_s / dt_s, 1)
+        # device-time microprobes on the warm server for the gap
+        # accounting: one synced prefill, one synced decode chunk
+        fill(srv2, 1)
+        t0 = time.perf_counter()
+        srv2._admit_queued()
+        np.asarray(srv2._state[4])
+        res[f"chunk{chunk}_admit_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
+        t0 = time.perf_counter()
+        toks, _ = srv2._dispatch_chunk()
+        np.asarray(toks)
+        res[f"chunk{chunk}_chunk_ms"] = round(
+            (time.perf_counter() - t0) * 1e3, 1)
         print(f"# serve chunk={chunk}: {total} toks in {dt:.2f}s = "
-              f"{total / dt:.1f} tok/s", file=sys.stderr)
+              f"{total / dt:.1f} tok/s (sync {total_s / dt_s:.1f}, "
+              f"occupancy {total / steps:.3f}, admit "
+              f"{res[f'chunk{chunk}_admit_ms']} ms, chunk "
+              f"{res[f'chunk{chunk}_chunk_ms']} ms)", file=sys.stderr)
     del params
     gc.collect()
     return res

@@ -439,6 +439,19 @@ def test_ref_grounding_parity_2b_full(ref_model):
                       txt_layers=28, vocab=8192)
 
 
+@pytest.mark.skipif(not __import__("os").environ.get(
+    "WEDETECT_SLOW_TESTS"), reason="~20 min: set WEDETECT_SLOW_TESTS=1")
+def test_ref_grounding_parity_4b_full(ref_model):
+    """The FULL 4B architecture shape (24-layer ViT, 36-layer decoder
+    at hidden 2560 / 32 q heads / ffn 9728 — nn/qwen3vl.ref_4b), vocab
+    truncated to 8192: the last rung of the parity ladder (VERDICT r3
+    item 8; 2B full-depth above)."""
+    _, _, mod = ref_model
+    _run_width_parity(mod, vis_depth=24, deepstack=(5, 11, 17),
+                      txt_layers=36, vocab=8192, hidden=2560,
+                      heads=32, intermediate=9728)
+
+
 def test_focal_loss_parity(ref_model, rng):
     _, _, mod = ref_model
     logits = rng.standard_normal(12).astype(np.float32)

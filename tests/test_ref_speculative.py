@@ -142,3 +142,17 @@ def test_spec_k_and_ngram_variants():
         np.testing.assert_array_equal(np.asarray(toks),
                                       np.asarray(base),
                                       err_msg=f"K={spec_k} n={ngram}")
+
+
+def test_spec_force_reject_exact_and_one_per_step():
+    """force_reject=True (the acceptance-collapse bound bench_spec
+    measures) must still emit the exact greedy tokens, taking exactly
+    one verify step per emitted token."""
+    args = _setup(2, tails=(5, 7), max_new=10)
+    plain = np.asarray(ref_generate(*args, eos_id=95, pad_id=0))
+    toks, steps = ref_generate_spec(*args, eos_id=95, pad_id=0,
+                                    force_reject=True)
+    np.testing.assert_array_equal(np.asarray(toks), plain)
+    # steps = longest row's emitted count (rows pad after eos)
+    longest = max(int((row != 0).sum()) for row in plain)
+    assert int(steps) == max(longest, 1)

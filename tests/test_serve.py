@@ -104,11 +104,23 @@ def test_server_matches_per_request_ref_generate():
                     max_new=max_new, chunk=3, eos_id=eos, pad_id=pad)
     rids = [srv.submit(patches_r, ids, mask, pos, 2, np0)
             for patches_r, ids, mask, pos, np0 in reqs]
-    out = srv.run()
+    out = srv.run()                      # pipelined (default)
     assert set(out) == set(rids)
     for r, rid in enumerate(rids):
         assert list(out[rid]) == expected[r], \
             f"request {r}: {list(out[rid])} != {expected[r]}"
+    assert srv.stats["admits"] == n_req
+    assert srv.stats["chunks"] >= 1
+
+    # the lag-1 pipelined scheduler must be invisible in the token
+    # streams: a fresh synchronous run emits byte-identical outputs
+    srv2 = GenServer(cfg, gh, gw, params, slots=2, prompt_len=p_pad,
+                     max_new=max_new, chunk=3, eos_id=eos, pad_id=pad)
+    rids2 = [srv2.submit(patches_r, ids, mask, pos, 2, np0)
+             for patches_r, ids, mask, pos, np0 in reqs]
+    out2 = srv2.run(pipeline=False)
+    for r, rid in enumerate(rids2):
+        assert list(out2[rid]) == expected[r]
 
 
 def test_server_step_incremental_and_slot_reuse():

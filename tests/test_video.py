@@ -153,3 +153,48 @@ def test_video_sample_through_ref_lm_step(tmp_path, rng):
         jnp.asarray(b["labels"]), b["grid_t"])
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_fetch_image_sources(tmp_path):
+    """fetch_image accepts every source form the reference's
+    fetch_image does (vision_process.py:95-150): array, PIL, bytes,
+    path, file://, data:image base64; RGBA composites onto white."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from wedetect_tpu.data.vision_process import fetch_image
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, (40, 32, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(fetch_image(arr), arr)
+
+    pil = Image.fromarray(arr)
+    np.testing.assert_array_equal(fetch_image(pil), arr)
+
+    path = str(tmp_path / "x.png")
+    pil.save(path)
+    np.testing.assert_array_equal(fetch_image(path), arr)
+    np.testing.assert_array_equal(fetch_image("file://" + path), arr)
+
+    raw = io.BytesIO()
+    pil.save(raw, format="PNG")
+    np.testing.assert_array_equal(fetch_image(raw.getvalue()), arr)
+
+    uri = "data:image/png;base64," + base64.b64encode(
+        raw.getvalue()).decode()
+    np.testing.assert_array_equal(fetch_image(uri), arr)
+
+    rgba = np.concatenate(
+        [arr, np.zeros((40, 32, 1), np.uint8)], -1)   # fully transparent
+    out = fetch_image(Image.fromarray(rgba, "RGBA"))
+    assert (out == 255).all()                          # white composite
+
+    gray = fetch_image(arr[..., 0])
+    assert gray.shape == (40, 32, 3)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        fetch_image(12345)

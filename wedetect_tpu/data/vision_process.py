@@ -103,6 +103,60 @@ def resize_pil_bicubic(img: np.ndarray, wb: int, hb: int) -> np.ndarray:
         return resize_bicubic_u8(img, wb, hb)
 
 
+def fetch_image(src) -> np.ndarray:
+    """Load an image from any of the source forms the reference's
+    ``fetch_image`` accepts (wedetect_ref/models/vision_process.py:
+    95-150): numpy array (passthrough), PIL.Image, raw encoded bytes,
+    local path, ``file://`` path, ``data:image/...;base64,`` URI, or
+    ``http(s)://`` URL. Returns an RGB uint8 (H, W, 3) array; RGBA is
+    composited onto white (the reference's ``to_rgb``). Resizing is
+    NOT done here — smart_resize/snap_to_bucket own that downstream."""
+    import base64
+    import io
+
+    if isinstance(src, np.ndarray):
+        arr = src
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, -1)
+        return np.ascontiguousarray(arr[..., :3]).astype(np.uint8)
+
+    from PIL import Image
+
+    if isinstance(src, Image.Image):
+        img = src
+    elif isinstance(src, (bytes, bytearray)):
+        img = Image.open(io.BytesIO(bytes(src)))
+    elif isinstance(src, str):
+        if src.startswith(("http://", "https://")):
+            import requests
+
+            with requests.get(src, stream=True, timeout=30) as r:
+                r.raise_for_status()
+                img = Image.open(io.BytesIO(r.content))
+                img.load()
+        elif src.startswith("file://"):
+            img = Image.open(src[len("file://"):])
+        elif src.startswith("data:image"):
+            if "base64," not in src:
+                raise ValueError(f"unsupported data URI: {src[:40]}")
+            img = Image.open(io.BytesIO(
+                base64.b64decode(src.split("base64,", 1)[1])))
+        else:
+            img = Image.open(src)
+    else:
+        raise ValueError(
+            f"unrecognized image input (ndarray, PIL.Image, bytes, "
+            f"path, file://, data:image or http(s):// supported), "
+            f"got {type(src)}")
+    if img.mode == "RGBA":
+        bg = Image.new("RGB", img.size, (255, 255, 255))
+        bg.paste(img, mask=img.split()[3])
+        img = bg
+    else:
+        img = img.convert("RGB")
+    return np.asarray(img)
+
+
 def image_to_pixels(img: np.ndarray, patch: int = 16, merge: int = 2,
                     min_pixels: Optional[int] = None,
                     max_pixels: Optional[int] = None,

@@ -126,7 +126,7 @@ def draft_lookup(hist, prev_gram, valid, spec_k):
 
 
 @functools.partial(
-    jax.jit, static_argnums=(0, 1, 2, 8, 12, 13, 14, 17, 18, 19))
+    jax.jit, static_argnums=(0, 1, 2, 8, 12, 13, 14, 17, 18, 19, 20))
 def ref_generate_spec(cfg: RefCfg, grid_h: int, grid_w: int, params,
                       patches, input_ids, attn_mask, position_ids,
                       visual_start: int, next_pos, boxes_xyxy, ori_wh,
@@ -134,7 +134,7 @@ def ref_generate_spec(cfg: RefCfg, grid_h: int, grid_w: int, params,
                       pad_id: int = 0,
                       object_positions=None, decode_params=None,
                       spec_k: int = 8, ngram: int = 2,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, force_reject: bool = False):
     """Greedy generation with prompt-lookup speculative decoding.
 
     Same arguments/layout contract as ref_generate (batched
@@ -145,6 +145,11 @@ def ref_generate_spec(cfg: RefCfg, grid_h: int, grid_w: int, params,
     steps per token). Returns (tokens (B, max_new), steps) where
     ``steps`` (scalar int32) is the number of verify forwards taken —
     steps < max_new means speculation accepted drafts.
+
+    force_reject=True discards every draft (each K-wide verify emits
+    exactly 1 token): the acceptance-collapse regime a non-repetitive
+    continuation produces. bench.bench_spec measures it as the honest
+    lower bound; the output stays greedy-exact.
     """
     from wedetect_tpu.models.ref import RefModules
 
@@ -160,12 +165,12 @@ def ref_generate_spec(cfg: RefCfg, grid_h: int, grid_w: int, params,
     dp = params if decode_params is None else decode_params
     return _spec_decode(c, dp, hidden, kvs, input_ids, attn_mask,
                         next_pos, max_new_tokens, eos_id, pad_id,
-                        spec_k, ngram, dtype)
+                        spec_k, ngram, dtype, force_reject)
 
 
 def _spec_decode(c, params, hidden, kvs, input_ids, attn_mask,
                  next_pos, max_new, eos_id, pad_id, spec_k, ngram,
-                 dtype):
+                 dtype, force_reject=False):
     b, p_len = attn_mask.shape
     K = spec_k
     cap = max_new + K          # generated-KV slots (block may overhang)
@@ -248,6 +253,8 @@ def _spec_decode(c, params, hidden, kvs, input_ids, attn_mask,
 
         # ------- accept the longest draft prefix matching the argmax
         matches = (block[:, 1:] == g[:, :-1]).astype(jnp.int32)
+        if force_reject:
+            matches = jnp.zeros_like(matches)
         acc = jnp.cumprod(matches, axis=1).sum(axis=1)     # (B,)
         cnt = acc + 1
         iseos = (block == eos_id) & (jK[None] < cnt[:, None])

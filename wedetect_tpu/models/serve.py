@@ -245,6 +245,11 @@ class GenServer:
         self._buf = {}             # req id -> [tokens]
         self._out = {}             # req id -> np.ndarray (finished)
         self._next_id = 0
+        # scheduling counters for the PERF.md gap accounting:
+        # chunks * chunk * slots = decode slot-steps issued; delivered
+        # tokens / slot-steps = occupancy (the rest is slot idle +
+        # post-EOS waste); admits = prefill forwards
+        self.stats = {"chunks": 0, "admits": 0}
 
     def submit(self, patches, input_ids, attn_mask, position_ids,
                visual_start: int, next_pos0: int, boxes_xyxy=None,
@@ -273,10 +278,9 @@ class GenServer:
     def _free_slots(self):
         return [s for s in range(self.slots) if s not in self._live]
 
-    def step(self):
-        """Admit queued requests into free slots, decode one chunk,
-        drain finished requests. Returns {rid: tokens} finished this
-        step (also accumulated for run())."""
+    def _admit_queued(self):
+        """Dispatch a prefill for every queued request that fits a
+        free slot (async — jit dispatch returns immediately)."""
         for slot in self._free_slots():
             if not self._queue:
                 break
@@ -291,15 +295,31 @@ class GenServer:
                 jnp.asarray(boxes), jnp.asarray(ori),
                 jnp.asarray(objp))
             self._live[slot] = rid
+            self.stats["admits"] += 1
+
+    def _dispatch_chunk(self):
+        """Dispatch one decode chunk (async); returns the device
+        tokens array and the slot->rid mapping as of this chunk."""
         dp = (self.params if self.decode_params is None
               else self.decode_params)
         toks, self._state = _decode_chunk(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
             self.dtype, dp, self._state)
+        self.stats["chunks"] += 1
+        return toks, dict(self._live)
+
+    def _collect(self, toks, live_snap):
+        """Block on one chunk's tokens and drain finished requests.
+        live_snap is the slot->rid mapping at the chunk's dispatch —
+        under the pipelined run() a slot may have been re-admitted
+        since, so rows are resolved against the snapshot and stale
+        (already-finished) rids are skipped."""
         toks = np.asarray(toks)                       # one readback
         finished = {}
-        for slot, rid in list(self._live.items()):
-            buf = self._buf[rid]
+        for slot, rid in live_snap.items():
+            buf = self._buf.get(rid)
+            if buf is None:                            # finished earlier
+                continue
             hit_end = False
             for t in toks[slot]:
                 t = int(t)
@@ -312,13 +332,46 @@ class GenServer:
                 out = np.asarray(buf, np.int32)
                 self._out[rid] = out
                 finished[rid] = out
-                del self._live[slot], self._buf[rid]
+                if self._live.get(slot) == rid:
+                    del self._live[slot]
+                del self._buf[rid]
         return finished
 
-    def run(self):
-        """Drive step() until every queued/live request finishes.
-        Returns {rid: np.int32 tokens (eos/pad excluded)}."""
-        while self._queue or self._live:
-            self.step()
+    def step(self):
+        """Admit queued requests into free slots, decode one chunk,
+        drain finished requests. Returns {rid: tokens} finished this
+        step (also accumulated for run()). Synchronous — one readback
+        per call; run() pipelines instead."""
+        self._admit_queued()
+        return self._collect(*self._dispatch_chunk())
+
+    def run(self, pipeline: bool = True):
+        """Drive decoding until every queued/live request finishes.
+        Returns {rid: np.int32 tokens (eos/pad excluded)}.
+
+        pipeline=True (default) overlaps each chunk's device->host
+        token readback with the NEXT chunk's device compute (jax
+        dispatch is async; only np.asarray blocks): the device never
+        idles waiting for the host round-trip, which on tunneled
+        transports costs 30-200 ms per chunk (PERF.md "Transport
+        sensitivity"). The cost is that a finished slot is discovered
+        one chunk later, so its refill lags one chunk (<= chunk idle
+        slot-steps per completion) — a good trade whenever the
+        round-trip exceeds chunk * per-step time. Token streams are
+        identical either way (scheduling changes, results never do —
+        pinned in tests/test_serve.py)."""
+        if not pipeline:
+            while self._queue or self._live:
+                self.step()
+        else:
+            pending = None
+            while self._queue or self._live or pending is not None:
+                nxt = None
+                if self._queue or self._live:
+                    self._admit_queued()
+                    nxt = self._dispatch_chunk()
+                if pending is not None:
+                    self._collect(*pending)
+                pending = nxt
         out, self._out = self._out, {}
         return out
