@@ -558,12 +558,17 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 
 
 def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
-                P=384, chunks=(16, 32)):
+                P=384, chunks=(16, 32), int8_prefill=False,
+                int8_decode=False):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
-    static-batch marginal rate. NOT wired into main(); run directly to
-    remeasure the PERF.md serving section."""
+    static-batch marginal rate (bf16, or int8 when int8_decode=True —
+    like-for-like pairs). int8_prefill quantizes the admission
+    prefills (ops/int8.py dynamic int8); int8_decode uses the
+    weight-only int8 decode tree (models/quant)."""
+    import dataclasses
+
     import jax.numpy as jnp
 
     from wedetect_tpu.models.serve import GenServer
@@ -573,6 +578,12 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         cfg = ref_2b()
     params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
                                 seq_len=P)
+    decode_params = None
+    if int8_decode:
+        from wedetect_tpu.models.quant import quantize_decode_params
+        decode_params = quantize_decode_params(params)
+    if int8_prefill:
+        cfg = dataclasses.replace(cfg, quant_int8=True)
     patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, 1, P)
 
     def fill(srv, n):
@@ -586,7 +597,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
     for chunk in chunks:
         srv = GenServer(cfg, gh, gw, params, slots=slots,
                         prompt_len=P, max_new=new, chunk=chunk,
-                        eos_id=2, dtype=jnp.bfloat16)
+                        eos_id=2, dtype=jnp.bfloat16,
+                        decode_params=decode_params)
         # warm with slots-many submissions so every ragged length and
         # slot index seen in the timed run is exercised (ADVICE r3)
         fill(srv, slots)
@@ -595,7 +607,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         def timed_run(pipeline):
             srv2 = GenServer(cfg, gh, gw, params, slots=slots,
                              prompt_len=P, max_new=new, chunk=chunk,
-                             eos_id=2, dtype=jnp.bfloat16)
+                             eos_id=2, dtype=jnp.bfloat16,
+                             decode_params=decode_params)
             t0 = time.perf_counter()
             fill(srv2, nreq)
             out = srv2.run(pipeline=pipeline)
@@ -708,8 +721,12 @@ def main():
         sub["gen2b_bf16_tok_per_s"] = round(bench_gen(b=8), 1)
 
     def row_serve():
-        r = bench_serve(chunks=(32,))
-        sub["serve2b_tok_per_s"] = r["chunk32_tok_s"]
+        # chunk=8 is the pipelined-run optimum (PERF.md round-4
+        # serving section: smaller chunks cut slot idle once the
+        # readback no longer stalls the device)
+        r = bench_serve(chunks=(8,))
+        sub["serve2b_tok_per_s"] = r["chunk8_tok_s"]
+        sub["serve2b_occupancy"] = r["chunk8_occupancy"]
 
     def row_ref2b_int8():
         sub["ref2b_int8_queries_per_s"] = round(

@@ -12,6 +12,7 @@ import pytest
     ("infer_wedetect_ref", ["--image", "x.jpg", "--query", "q"]),
     ("train", ["--ann", "a.json", "--img-root", "r"]),
     ("eval_odinw", ["--root", "r"]),
+    ("serve_ref", ["--ref_checkpoint", "c", "--requests", "r.jsonl"]),
 ])
 def test_cli_parses(mod, extra):
     import importlib

@@ -335,3 +335,30 @@ def test_quant_prefill_tracks_float(tiny, monkeypatch):
         img, props, ["red box", "dog"], pad_token_id=0)
     np.testing.assert_allclose(q, f, atol=0.05)
     assert np.array_equal(np.argsort(q, -1), np.argsort(f, -1))
+
+
+def test_generate_batch_matches_generate_text(tiny, monkeypatch):
+    """generate_batch (continuous batching through GenServer, the
+    cli/serve_ref surface) must emit, per request, exactly the tokens
+    generate_text (per-request jitted decode) emits — more requests
+    than slots, varied prompt lengths."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       max_proposals=3, device_patchify=False)
+    img = np.zeros((64, 64, 3), np.uint8)
+    prompts = ["a", "bb", "ccc", "dddd", "eeeee"]
+    want = [scorer.generate_text(img, p, max_new_tokens=5,
+                                 eos_token_id=95, pad_token_id=0)
+            for p in prompts]
+    got = scorer.generate_batch([(img, p) for p in prompts],
+                                max_new_tokens=5, eos_token_id=95,
+                                pad_token_id=0, slots=2, chunk=2)
+    assert got == want

@@ -101,10 +101,11 @@ def test_server_matches_per_request_ref_generate():
         expected[r] = _trim(toks, eos, pad)
 
     srv = GenServer(cfg, gh, gw, params, slots=2, prompt_len=p_pad,
-                    max_new=max_new, chunk=3, eos_id=eos, pad_id=pad)
+                    max_new=max_new, chunk=3, eos_id=eos, pad_id=pad,
+                    batch_admit=True)
     rids = [srv.submit(patches_r, ids, mask, pos, 2, np0)
             for patches_r, ids, mask, pos, np0 in reqs]
-    out = srv.run()                      # pipelined (default)
+    out = srv.run()                      # pipelined + batched admits
     assert set(out) == set(rids)
     for r, rid in enumerate(rids):
         assert list(out[rid]) == expected[r], \
@@ -175,3 +176,54 @@ def test_server_step_incremental_and_slot_reuse():
     assert set(seen) == set(rids)
     for rid in rids:
         assert list(seen[rid]) == expected[rid]
+
+
+def test_server_padded_wave_admission():
+    """slots=3 with 5 requests: the refill wave of 2 goes through the
+    padded _admit_many (one OOB pad lane whose scatter is dropped) —
+    outputs must still match per-request ref_generate."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(4)
+    eos, pad, max_new = 95, 0, 4
+    p_pad = 32
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(9), jnp.asarray(patches),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    srv = GenServer(cfg, gh, gw, params, slots=3, prompt_len=p_pad,
+                    max_new=max_new, chunk=2, eos_id=eos, pad_id=pad,
+                    batch_admit=True)
+    expected = {}
+    for r in range(5):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, 3 + (r % 3), rng)
+        p_real = len(ids_r)
+        ids = np.zeros(p_pad, np.int32)
+        ids[:p_real] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :p_real] = pos_r
+        np0 = int(pos_r.max()) + 1
+        toks = ref_generate(
+            cfg, gh, gw, params, jnp.asarray(patches),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None]), 2,
+            jnp.asarray([np0], np.int32), jnp.asarray(boxes),
+            jnp.asarray(ori), max_new, eos_id=eos, pad_id=pad)
+        rid = srv.submit(patches, ids, mask, pos, 2, np0)
+        expected[rid] = _trim(toks, eos, pad)
+
+    out = srv.run()
+    assert srv.stats["admits"] == 5
+    assert srv.stats.get("admit_batches", 0) >= 1
+    for rid, want in expected.items():
+        assert list(out[rid]) == want, rid

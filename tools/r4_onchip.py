@@ -112,6 +112,17 @@ def main():
     if "spec" in which:
         out["spec"] = bench.bench_spec()
         _save(out)
+    if "serve_i8" in which:
+        out["serve_i8_prefill"] = bench.bench_serve(
+            chunks=(8,), int8_prefill=True)
+        _save(out)
+        out["serve_i8_full"] = bench.bench_serve(
+            chunks=(8,), int8_prefill=True, int8_decode=True)
+        _save(out)
+        # int8 static marginal for the like-for-like ratio
+        out["gen_int8_b8_tok_s"] = round(
+            bench.bench_gen(b=8, int8=True), 1)
+        _save(out)
     print(f"# total {time.time() - t0:.0f}s", file=sys.stderr)
     print(json.dumps(out))
 

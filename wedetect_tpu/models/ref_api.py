@@ -482,6 +482,109 @@ class RefScorer:
                 jnp.asarray(posb), pmask_j, jnp.asarray(objb),
                 self._jnp_dtype(), self.attn_impl))
 
+    def _build_gen_prompt(self, image: np.ndarray, prompt: str,
+                          pad_token_id: int, p_pad: int = 0):
+        """Shared generation-prompt assembly: image patches + chat
+        template ids/mask/MRoPE positions, right-padded to a
+        flash-tileable length (the mask keeps pad slots inert) so the
+        prefill stays on the flash kernel and prompt-length jitter
+        reuses one compile. p_pad>0 forces a specific padded length
+        (generate_batch pads a whole group to its max)."""
+        from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
+
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required"
+        h, w = image.shape[:2]
+        patches, gh, gw = self._prep_patches(image)
+        m = c.vision.merge
+        n_img = (gh // m) * (gw // m)
+        tail = tok.encode(prompt + "<|im_end|>\n<|im_start|>assistant"
+                          "\n", add_special_tokens=False)
+        ids = np.concatenate([self.build_prefix(n_img),
+                              np.array(tail, np.int32)])
+        pos = get_rope_index_single_image(
+            ids, c.image_token_id, gh, gw, m)
+        visual_start = int(np.nonzero(ids == c.image_token_id)[0][0])
+        p_real = len(ids)
+        if not p_pad:
+            p_pad = -(-p_real // 128) * 128
+        assert p_real <= p_pad, (p_real, p_pad)
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        ids = np.pad(ids, (0, p_pad - p_real),
+                     constant_values=pad_token_id)
+        pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
+        return patches, gh, gw, ids, mask, pos, visual_start, w, h
+
+    def generate_batch(self, requests, max_new_tokens: int = 64,
+                       eos_token_id: int = 151645,
+                       pad_token_id: int = 151643,
+                       slots: int = 8, chunk: int = 16):
+        """Continuous-batching generation over many (image, prompt)
+        requests through models/serve.GenServer — the production
+        serving surface (the reference's stage-1/2 twin inherits HF
+        .generate(), one static batch at a time,
+        qwen3vl_grounding.py:311-379). Requests are grouped by image
+        grid bucket (one compiled server per group; images snap to
+        grid_buckets exactly as in score()/generate_text()), each
+        group's prompts padded to one shared length, and every group
+        runs a slot pool with mid-run admission + pipelined chunked
+        decode. Greedy only. Returns decoded texts in input order."""
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.serve import GenServer
+
+        tok = self.tokenizer
+        if self.quantize_decode and self._decode_params is None:
+            from wedetect_tpu.models.quant import quantize_decode_params
+            self._decode_params = quantize_decode_params(self.params)
+        prepped = []
+        groups = {}
+        for i, (image, prompt) in enumerate(requests):
+            built = self._build_gen_prompt(image, prompt, pad_token_id)
+            prepped.append(built)
+            gh, gw, visual_start = built[1], built[2], built[6]
+            groups.setdefault((gh, gw, visual_start), []).append(i)
+        texts = [None] * len(requests)
+        for (gh, gw, visual_start), idxs in groups.items():
+            p_pad = max(int(prepped[i][4].sum()) for i in idxs)
+            p_pad = -(-p_pad // 128) * 128
+            srv = GenServer(
+                self.cfg, gh, gw, self.params,
+                slots=min(slots, len(idxs)), prompt_len=p_pad,
+                max_new=max_new_tokens, chunk=chunk,
+                eos_id=eos_token_id, pad_id=pad_token_id,
+                dtype=self._jnp_dtype(),
+                decode_params=self._decode_params)
+            rid_to_idx = {}
+            for i in idxs:
+                patches, _, _, ids, mask, pos, _, w, h = prepped[i]
+                ids = np.pad(ids[:p_pad], (0, max(0, p_pad - len(ids))),
+                             constant_values=pad_token_id)
+                mask = np.pad(mask[:p_pad],
+                              (0, max(0, p_pad - len(mask))))
+                pos = np.pad(pos[:, :p_pad],
+                             ((0, 0), (0, max(0, p_pad - pos.shape[1]))))
+                next_pos0 = int(pos[:, mask.astype(bool)].max()) + 1
+                rid = srv.submit(
+                    jnp.asarray(patches), ids, mask, pos, visual_start,
+                    next_pos0,
+                    boxes_xyxy=np.array([[0, 0, w, h]], np.float32),
+                    ori_wh=np.array([w, h], np.float32))
+                rid_to_idx[rid] = i
+            out = srv.run()
+            for rid, toks in out.items():
+                keep = []
+                for t in toks:
+                    if t in (eos_token_id, pad_token_id):
+                        break
+                    keep.append(int(t))
+                texts[rid_to_idx[rid]] = (tok.decode(keep)
+                                          if hasattr(tok, "decode")
+                                          else keep)
+        return texts
+
     def generate_text(self, image: np.ndarray, prompt: str,
                       max_new_tokens: int = 64,
                       temperature: float = 0.0,
@@ -504,32 +607,11 @@ class RefScorer:
         import jax.numpy as jnp
 
         from wedetect_tpu.models.ref_generate import ref_generate
-        from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
 
         c = self.cfg
         tok = self.tokenizer
-        assert tok is not None, "tokenizer required"
-        h, w = image.shape[:2]
-        patches, gh, gw = self._prep_patches(image)
-        m = c.vision.merge
-        n_img = (gh // m) * (gw // m)
-        tail = tok.encode(prompt + "<|im_end|>\n<|im_start|>assistant"
-                          "\n", add_special_tokens=False)
-        ids = np.concatenate([self.build_prefix(n_img),
-                              np.array(tail, np.int32)])
-        pos = get_rope_index_single_image(
-            ids, c.image_token_id, gh, gw, m)
-        visual_start = int(np.nonzero(ids == c.image_token_id)[0][0])
-        # right-pad the prompt to a flash-tileable length (the mask
-        # keeps pad slots inert) so the prefill stays on the flash
-        # kernel and prompt-length jitter reuses one compile
-        p_real = len(ids)
-        p_pad = -(-p_real // 128) * 128
-        mask = np.zeros(p_pad, np.int32)
-        mask[:p_real] = 1
-        ids = np.pad(ids, (0, p_pad - p_real),
-                     constant_values=pad_token_id)
-        pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
+        patches, gh, gw, ids, mask, pos, visual_start, w, h = \
+            self._build_gen_prompt(image, prompt, pad_token_id)
         if self.quantize_decode and self._decode_params is None:
             from wedetect_tpu.models.quant import quantize_decode_params
             self._decode_params = quantize_decode_params(self.params)
@@ -549,13 +631,15 @@ class RefScorer:
                 ref_generate_spec)
             toks, _steps = ref_generate_spec(
                 *gen_args, pad_token_id,
-                decode_params=self._decode_params, spec_k=spec_k)
+                decode_params=self._decode_params, spec_k=spec_k,
+                dtype=self._jnp_dtype())
             toks = np.asarray(toks)[0]
         else:
             toks = np.asarray(ref_generate(
                 *gen_args, temperature, pad_token_id,
                 rng=jax.random.PRNGKey(seed),
-                decode_params=self._decode_params))[0]
+                decode_params=self._decode_params,
+                dtype=self._jnp_dtype()))[0]
         keep = []
         for t in toks:
             if t in (eos_token_id, pad_token_id):

@@ -146,6 +146,66 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
             cur_tok, done)
 
 
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11),
+                   donate_argnums=(6,))
+def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
+                decode_params, state, slots, patches, input_ids,
+                attn_mask, visual_start: int, position_ids, next_pos0,
+                boxes_xyxy, ori_wh, object_positions):
+    """Prefill N requests in ONE vmapped forward and install them into
+    ``slots`` (N,). Batched admission: slot completions cluster in
+    waves (all slots admitted together finish within a chunk or two of
+    each other), so one b=N prefill replaces N serial b=1 prefills —
+    the vision towers and the 384-token decoder prefill batch onto the
+    MXU instead of running N undersized singleton programs.
+
+    Shapes: slots (N,) int32; patches (N, S, Dp); input_ids/attn_mask
+    (N, P); position_ids (3, N, P); next_pos0 (N,); boxes_xyxy
+    (N, Q, 4); ori_wh (N, 2); object_positions (N, Q). The caller
+    always passes N = slot-pool size, padding partial waves with
+    duplicate lanes whose slot index is OUT OF BOUNDS — jax scatter
+    drops OOB writes by default, so pad lanes compute a throwaway
+    prefill and install nothing. One compile total."""
+    from wedetect_tpu.models.ref import RefModules
+
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
+
+    def one(patches_i, ids_i, mask_i, pos_i, boxes_i, ori_i, objp_i):
+        return mod.apply(
+            {"params": params}, patches_i, ids_i[None], mask_i[None],
+            pos_i[:, None], boxes_i, ori_i, visual_start,
+            objp_i[None], method=_prefill_hidden_kvs)
+
+    hidden, kvs = jax.vmap(one, in_axes=(0, 0, 0, 1, 0, 0, 0))(
+        patches, input_ids, attn_mask, position_ids, boxes_xyxy,
+        ori_wh, object_positions)
+    hidden = hidden[:, 0]                                  # (N, P, D)
+    last = jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1
+    h_last = jnp.take_along_axis(hidden, last[:, None, None],
+                                 axis=1)[:, 0]
+    dp = params if decode_params is None else decode_params
+    tok0 = jnp.argmax(_lm_logits(dp, h_last), axis=-1).astype(jnp.int32)
+
+    n, p_len = attn_mask.shape
+    rows = slots[:, None]
+    cols = jnp.arange(p_len)[None, :]
+    new_caches = []
+    for (kc, vc), (k, v) in zip(caches, kvs):
+        # k/v: (N, 1, P, KVH, HD) from the vmapped B=1 prefill
+        kc = kc.at[rows, cols].set(k[:, 0].astype(kc.dtype))
+        vc = vc.at[rows, cols].set(v[:, 0].astype(vc.dtype))
+        new_caches.append((kc, vc))
+    prompt_mask = prompt_mask.at[slots].set(
+        attn_mask.astype(jnp.int32))
+    gen_count = gen_count.at[slots].set(0)
+    next_pos = next_pos.at[slots].set(next_pos0)
+    cur_tok = cur_tok.at[slots].set(tok0)
+    done = done.at[slots].set(False)
+    return (tuple(new_caches), prompt_mask, gen_count, next_pos,
+            cur_tok, done)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
                    donate_argnums=(6,))
 def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
@@ -213,13 +273,24 @@ class GenServer:
     template — the RefScorer grid-bucket discipline); real lengths
     vary freely via the mask. ``decode_params`` accepts the
     models/quant weight-only-int8 tree, as in ref_generate.
+
+    ``batch_admit=True`` admits shape-compatible waves through ONE
+    vmapped prefill (_admit_many) instead of per-request prefills.
+    Default OFF: measured on the v5e (PERF.md round-4 serving
+    section), the pipelined run already hides admit dispatch latency
+    and b=1 384-token prefills already saturate the MXU, so batching
+    bought nothing and the vmapped lanes cost ~7% — kept as an option
+    for deployments with many tiny prompts where b=1 prefill is
+    launch-bound.
     """
 
     def __init__(self, cfg: RefCfg, grid_h: int, grid_w: int, params,
                  *, slots: int = 8, prompt_len: int, max_new: int,
                  chunk: int = 16, eos_id: int, pad_id: int = 0,
-                 dtype=jnp.float32, decode_params=None):
+                 dtype=jnp.float32, decode_params=None,
+                 batch_admit: bool = False):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
+        self.batch_admit = batch_admit
         self.cfg, self.gh, self.gw = cfg, grid_h, grid_w
         self.params = params
         self.decode_params = decode_params
@@ -278,24 +349,90 @@ class GenServer:
     def _free_slots(self):
         return [s for s in range(self.slots) if s not in self._live]
 
+    @staticmethod
+    def _batchable(a, b):
+        """Two queued requests can share one _admit_many call when
+        their aux shapes (and the static visual_start) agree."""
+        return (np.shape(a[1]) == np.shape(b[1])        # patches
+                and a[5] == b[5]                         # visual_start
+                and np.shape(a[7]) == np.shape(b[7])     # boxes
+                and np.shape(a[9]) == np.shape(b[9]))    # objpos
+
     def _admit_queued(self):
-        """Dispatch a prefill for every queued request that fits a
-        free slot (async — jit dispatch returns immediately)."""
-        for slot in self._free_slots():
-            if not self._queue:
-                break
-            (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
-             objp) = self._queue.popleft()
-            self._state = _admit(
-                self.cfg, self.gh, self.gw, self.dtype, self.params,
-                self.decode_params, self._state,
-                jnp.asarray(slot, jnp.int32), jnp.asarray(patches),
-                jnp.asarray(ids), jnp.asarray(mask), vs,
-                jnp.asarray(pos), jnp.asarray(np0, jnp.int32),
-                jnp.asarray(boxes), jnp.asarray(ori),
-                jnp.asarray(objp))
-            self._live[slot] = rid
-            self.stats["admits"] += 1
+        """Dispatch prefills for every queued request that fits a free
+        slot (async — jit dispatch returns immediately). Consecutive
+        shape-compatible requests are admitted in ONE vmapped batch
+        prefill (_admit_many), bucketed to powers of two to bound the
+        compile count — slot completions cluster in waves, so the
+        initial fill and each refill wave batch their vision towers +
+        decoder prefills onto the MXU instead of running N singleton
+        programs."""
+        free = self._free_slots()
+        while free and self._queue:
+            n = min(len(free), len(self._queue))
+            if self.batch_admit:
+                head = self._queue[0]
+                r = 1
+                while r < n and self._batchable(head, self._queue[r]):
+                    r += 1
+                n = r
+            # a padded batch computes a full slots-wide prefill, so it
+            # only wins when the wave is at least ~half the pool
+            # (n * C_single > C_batch); smaller waves go singleton
+            if not self.batch_admit or n < max(2, (self.slots + 1) // 2):
+                n = 1
+            items = [self._queue.popleft() for _ in range(n)]
+            slots_n, free = free[:n], free[n:]
+            if n == 1:
+                (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
+                 objp) = items[0]
+                self._state = _admit(
+                    self.cfg, self.gh, self.gw, self.dtype,
+                    self.params, self.decode_params, self._state,
+                    jnp.asarray(slots_n[0], jnp.int32),
+                    jnp.asarray(patches), jnp.asarray(ids),
+                    jnp.asarray(mask), vs, jnp.asarray(pos),
+                    jnp.asarray(np0, jnp.int32), jnp.asarray(boxes),
+                    jnp.asarray(ori), jnp.asarray(objp))
+                self._live[slots_n[0]] = rid
+            else:
+                vs = items[0][5]
+                # pad the wave to the full slot width with duplicate
+                # lanes targeting an OUT-OF-BOUNDS slot (scatter drops
+                # them) — one _admit_many compile serves every wave
+                # size
+                pad = self.slots - n
+                lanes = items + [items[0]] * pad
+                slot_idx = np.asarray(
+                    list(slots_n) + [self.slots] * pad, np.int32)
+                self._state = _admit_many(
+                    self.cfg, self.gh, self.gw, self.dtype,
+                    self.params, self.decode_params, self._state,
+                    jnp.asarray(slot_idx),
+                    jnp.stack([jnp.asarray(it[1]) for it in lanes]),
+                    jnp.asarray(np.stack([np.asarray(it[2])
+                                          .reshape(self.P)
+                                          for it in lanes])),
+                    jnp.asarray(np.stack([np.asarray(it[3])
+                                          .reshape(self.P)
+                                          for it in lanes])),
+                    vs,
+                    jnp.asarray(np.stack([np.asarray(it[4])
+                                          .reshape(3, self.P)
+                                          for it in lanes], axis=1)),
+                    jnp.asarray(np.asarray([it[6] for it in lanes],
+                                           np.int32)),
+                    jnp.asarray(np.stack([np.asarray(it[7])
+                                          for it in lanes])),
+                    jnp.asarray(np.stack([np.asarray(it[8])
+                                          for it in lanes])),
+                    jnp.asarray(np.stack([np.asarray(it[9]).ravel()
+                                          for it in lanes])))
+                for slot, it in zip(slots_n, items):
+                    self._live[slot] = it[0]
+                self.stats["admit_batches"] = \
+                    self.stats.get("admit_batches", 0) + 1
+            self.stats["admits"] += n
 
     def _dispatch_chunk(self):
         """Dispatch one decode chunk (async); returns the device
