@@ -123,6 +123,14 @@ def main():
         out["gen_int8_b8_tok_s"] = round(
             bench.bench_gen(b=8, int8=True), 1)
         _save(out)
+    if "serve_ab" in which:
+        # same-session A/B (transport jitter moves cross-session
+        # serving numbers ~2-10%): bf16 vs int8-prefill, chunk 8
+        out["serve_ab_bf16"] = bench.bench_serve(chunks=(8,))
+        _save(out)
+        out["serve_ab_i8p"] = bench.bench_serve(chunks=(8,),
+                                                int8_prefill=True)
+        _save(out)
     print(f"# total {time.time() - t0:.0f}s", file=sys.stderr)
     print(json.dumps(out))
 
