@@ -59,3 +59,6 @@ def test_clip_vision_parity(rng):
                                      jnp.asarray(img))
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4,
                                atol=3e-4)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

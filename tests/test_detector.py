@@ -140,3 +140,6 @@ def test_class_mask_bucketing(cfg, variables):
                       jnp.asarray(mask))
     labels = np.asarray(det.labels[0])[np.asarray(det.valid[0])]
     assert (labels < 2).all()
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -88,3 +88,6 @@ def test_evaluate_random_weights(coco_dir):
     assert set(metrics) == {"mAP", "AP50", "AP75", "APs", "APm",
                             "APl", "per_class"}
     assert 0.0 <= metrics["mAP"] <= 1.0 or np.isnan(metrics["mAP"])
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

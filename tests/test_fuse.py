@@ -87,3 +87,6 @@ def test_cov_mse():
     mean = np.mean(np.array([[1, 2], [3, 2]]), axis=0)
     want = float(np.mean((std / mean) ** 2))
     assert got == pytest.approx(want, rel=1e-5)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

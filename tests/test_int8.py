@@ -288,3 +288,6 @@ def test_quantized_detector_agrees_with_float():
                           np.asarray(det_q.labels[0, :top]))
     np.testing.assert_allclose(sq, sf_, atol=0.02)
     np.testing.assert_allclose(bq, bf, atol=1.5)  # px
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

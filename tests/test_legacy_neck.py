@@ -351,3 +351,6 @@ def test_golden_yolov8_pafpn(refnecks, rng):
         [jnp.asarray(f) for f in feats])
     for gg, ww in zip(got, want):
         np.testing.assert_allclose(np.asarray(gg), ww, **TOL)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -22,8 +22,8 @@ from wedetect_tpu.nn.convnext import ConvNeXt  # noqa: E402
 from wedetect_tpu.nn.bifpan import CSPRepBiFPANNeck  # noqa: E402
 from wedetect_tpu.nn.head import WeDetectHead  # noqa: E402
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted"), pytest.mark.slow]
 
 TOL = dict(rtol=2e-4, atol=2e-4)
 

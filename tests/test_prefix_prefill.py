@@ -208,3 +208,6 @@ def test_two_stage_matches_one_shot(tiny_cfg):
                           args[4], args[6], args[3], args[10])
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

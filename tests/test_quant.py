@@ -160,3 +160,8 @@ def test_generate_int8_untied_head_bf16():
                                    dtype=jnp.bfloat16))
     assert toks.shape == (1, 6)
     assert ((toks >= 0) & (toks < cfg.text.vocab_size)).all()
+
+import pytest  # noqa: E402
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

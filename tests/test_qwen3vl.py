@@ -140,3 +140,6 @@ def test_rope_index_matches_hf(tiny_hf):
             torch.tensor([[1, gh, gw]], dtype=torch.long), None, None)
     got = get_rope_index_single_image(ids, 120, gh, gw, 2)
     np.testing.assert_array_equal(got, want[:, 0].numpy())
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -362,3 +362,6 @@ def test_generate_batch_matches_generate_text(tiny, monkeypatch):
                                 max_new_tokens=5, eos_token_id=95,
                                 pad_token_id=0, slots=2, chunk=2)
     assert got == want
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

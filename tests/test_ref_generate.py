@@ -320,3 +320,6 @@ def test_generate_multi_image_matches_single():
         eos_id=95))
     assert toks.shape == (1, 5)
     assert ((toks >= 0) & (toks < cfg.text.vocab_size)).all()
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -69,3 +69,6 @@ def test_ref_lm_step_stage1(tiny):  # noqa: F811
     assert not np.array_equal(
         extras_before,
         np.asarray(state.params["extras"]["merge"]["kernel"]))
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -22,8 +22,8 @@ from wedetect_tpu.models.ref import (RefModules, ref_score_step,  # noqa: E402
 from wedetect_tpu.nn.qwen3vl import (RefCfg,  # noqa: E402
                                      get_rope_index_single_image)
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted"), pytest.mark.slow]
 
 
 def torch_roi_align_stub(feat, boxes, out, scale, **kw):

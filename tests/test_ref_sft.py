@@ -67,3 +67,6 @@ def test_ref_sft_step_learns(tiny):  # noqa: F811
     vision_after = jax.tree.leaves(state.params["vision"])[0]
     np.testing.assert_array_equal(np.asarray(vision_before),
                                   np.asarray(vision_after))
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -156,3 +156,8 @@ def test_spec_force_reject_exact_and_one_per_step():
     # steps = longest row's emitted count (rows pad after eos)
     longest = max(int((row != 0).sum()) for row in plain)
     assert int(steps) == max(longest, 1)
+
+import pytest  # noqa: E402
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -227,3 +227,54 @@ def test_server_padded_wave_admission():
     assert srv.stats.get("admit_batches", 0) >= 1
     for rid, want in expected.items():
         assert list(out[rid]) == want, rid
+
+
+def test_server_int8_decode_matches_ref_generate_int8():
+    """GenServer with the weight-only int8 decode tree must emit the
+    same tokens as ref_generate given the same decode_params (the
+    serving int8 mode bench_serve measures)."""
+    from wedetect_tpu.models.quant import quantize_decode_params
+
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(6)
+    eos, pad, max_new = 95, 0, 4
+    p_pad = 32
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(11), jnp.asarray(patches),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+    q = quantize_decode_params(params)
+
+    ids = np.zeros(p_pad, np.int32)
+    ids[:len(ids0)] = ids0
+    mask = np.zeros(p_pad, np.int32)
+    mask[:len(ids0)] = 1
+    pos = np.zeros((3, p_pad), np.int32)
+    pos[:, :len(ids0)] = pos0
+    np0 = int(pos0.max()) + 1
+    want = _trim(ref_generate(
+        cfg, gh, gw, params, jnp.asarray(patches),
+        jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+        jnp.asarray(pos[:, None]), 2, jnp.asarray([np0], np.int32),
+        jnp.asarray(boxes), jnp.asarray(ori), max_new, eos_id=eos,
+        pad_id=pad, decode_params=q), eos, pad)
+
+    srv = GenServer(cfg, gh, gw, params, slots=2, prompt_len=p_pad,
+                    max_new=max_new, chunk=2, eos_id=eos, pad_id=pad,
+                    decode_params=q)
+    rid = srv.submit(patches, ids, mask, pos, 2, np0)
+    out = srv.run()
+    assert list(out[rid]) == want
+
+import pytest  # noqa: E402
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -101,3 +101,6 @@ def test_ref_tp_generate_matches_replicated(rng):
         got = np.asarray(ref_generate(*gen_args, sharded, *tail,
                                       eos_id=95))
     np.testing.assert_array_equal(got, want)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

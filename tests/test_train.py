@@ -92,3 +92,6 @@ def test_train_step_sharded(rng):
     state2, metrics2 = train_step(cfg, state2, host_batch)
     np.testing.assert_allclose(float(metrics["loss"]),
                                float(metrics2["loss"]), rtol=1e-4)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

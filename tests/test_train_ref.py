@@ -181,3 +181,6 @@ def test_drop_path(rng):
     c = net.apply(params, x, deterministic=False,
                   rngs={"dropout": jax.random.PRNGKey(2)})
     assert np.abs(np.asarray(b[3]) - np.asarray(c[3])).max() > 0
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

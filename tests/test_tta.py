@@ -165,3 +165,6 @@ def test_tta_batched_shapes(tiny_setup):
     assert r.embeds.shape[:2] == (2, m)
     b = np.asarray(r.boxes)
     assert (b >= 0).all() and (b <= 128).all()
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -43,3 +43,6 @@ def test_text_tower_parity(rng):
                                jnp.asarray(ids.astype(np.int32)),
                                jnp.asarray(mask.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+# heavy golden/e2e file: excluded from the fast tier (pytest.ini)
+pytestmark = pytest.mark.slow

@@ -23,8 +23,8 @@ import jax.numpy as jnp  # noqa: E402
 from wedetect_tpu.nn.yolov5_head import YOLOv5HeadModule  # noqa: E402
 from wedetect_tpu.train.yolov5_loss import yolov5_loss  # noqa: E402
 
-pytestmark = pytest.mark.skipif(not reference_available(),
-                                reason="reference not mounted")
+pytestmark = [pytest.mark.skipif(not reference_available(),
+                                reason="reference not mounted"), pytest.mark.slow]
 
 
 def _stub_modules(iou_loss_mod):
