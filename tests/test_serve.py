@@ -274,6 +274,129 @@ def test_server_int8_decode_matches_ref_generate_int8():
     out = srv.run()
     assert list(out[rid]) == want
 
+def test_server_piggyback_matches_ref_generate():
+    """piggyback=True: steady-state admissions ride the decode chunks
+    (_encode_prompt + _decode_chunk_pb) — 5 ragged requests with
+    distinct images through 2 slots must still emit exactly the
+    per-request ref_generate streams, and at least one admission must
+    actually have taken the piggyback lane."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(7)
+    eos, pad, max_new = 95, 0, 6
+    n_req, p_pad = 5, 32
+
+    ids0, pos0 = build_prompt(cfg, gh, gw, 5, rng)
+    patches0 = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(3), jnp.asarray(patches0),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    reqs = []
+    for r in range(n_req):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, 3 + r, rng)
+        patches_r = rng.standard_normal(
+            (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+        p_real = len(ids_r)
+        ids = np.zeros(p_pad, np.int32)
+        ids[:p_real] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :p_real] = pos_r
+        reqs.append((patches_r, ids, mask, pos,
+                     int(pos_r.max()) + 1))
+
+    expected = {}
+    for r, (patches_r, ids, mask, pos, np0) in enumerate(reqs):
+        toks = ref_generate(
+            cfg, gh, gw, params, jnp.asarray(patches_r),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None]), 2,
+            jnp.asarray([np0], np.int32), jnp.asarray(boxes),
+            jnp.asarray(ori), max_new, eos_id=eos, pad_id=pad)
+        expected[r] = _trim(toks, eos, pad)
+
+    for pipeline in (True, False):
+        srv = GenServer(cfg, gh, gw, params, slots=2,
+                        prompt_len=p_pad, max_new=max_new, chunk=3,
+                        eos_id=eos, pad_id=pad, piggyback=True)
+        rids = [srv.submit(patches_r, ids, mask, pos, 2, np0)
+                for patches_r, ids, mask, pos, np0 in reqs]
+        out = srv.run(pipeline=pipeline)
+        assert set(out) == set(rids)
+        for r, rid in enumerate(rids):
+            assert list(out[rid]) == expected[r], \
+                f"pipeline={pipeline} request {r}: " \
+                f"{list(out[rid])} != {expected[r]}"
+        assert srv.stats["admits"] == n_req
+        assert srv.stats.get("pb_admits", 0) >= 2
+
+
+def test_server_piggyback_single_slot_sequential():
+    """slots=1 forces EVERY steady-state admission through the
+    piggyback lane into a dirty cache (full slot-reuse path); streams
+    must match ref_generate and the classic (non-piggyback) server."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(8)
+    eos, pad, max_new = 95, 0, 5
+    p_pad = 32
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(5), jnp.asarray(patches),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    reqs = []
+    for r in range(3):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, 3 + r, rng)
+        p_real = len(ids_r)
+        ids = np.zeros(p_pad, np.int32)
+        ids[:p_real] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :p_real] = pos_r
+        reqs.append((ids, mask, pos, int(pos_r.max()) + 1))
+
+    srv_pb = GenServer(cfg, gh, gw, params, slots=1, prompt_len=p_pad,
+                       max_new=max_new, chunk=2, eos_id=eos,
+                       pad_id=pad, piggyback=True)
+    srv_cl = GenServer(cfg, gh, gw, params, slots=1, prompt_len=p_pad,
+                       max_new=max_new, chunk=2, eos_id=eos,
+                       pad_id=pad)
+    rids_pb = [srv_pb.submit(patches, ids, mask, pos, 2, np0)
+               for ids, mask, pos, np0 in reqs]
+    rids_cl = [srv_cl.submit(patches, ids, mask, pos, 2, np0)
+               for ids, mask, pos, np0 in reqs]
+    out_pb, out_cl = srv_pb.run(), srv_cl.run()
+    for (ids, mask, pos, np0), rid_p, rid_c in zip(reqs, rids_pb,
+                                                   rids_cl):
+        want = _trim(ref_generate(
+            cfg, gh, gw, params, jnp.asarray(patches),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None]), 2,
+            jnp.asarray([np0], np.int32), jnp.asarray(boxes),
+            jnp.asarray(ori), max_new, eos_id=eos, pad_id=pad),
+            eos, pad)
+        assert list(out_pb[rid_p]) == want
+        assert list(out_cl[rid_c]) == want
+    assert srv_pb.stats.get("pb_admits", 0) >= 2
+
+
 import pytest  # noqa: E402
 
 # heavy golden/e2e file: excluded from the fast tier (pytest.ini)

@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--int8-decode", action="store_true",
                    help="weight-only int8 decode (models/quant)")
+    p.add_argument("--piggyback", action="store_true",
+                   help="ride admission prefills on the decode chunks"
+                        " (models/serve chunked prefill)")
     return p.parse_args(argv)
 
 
@@ -72,7 +75,7 @@ def main(argv=None):
     texts = scorer.generate_batch(
         [(img, prompt) for img, (_, prompt) in zip(images, reqs)],
         max_new_tokens=args.max_new_tokens, eos_token_id=eos,
-        slots=args.slots, chunk=args.chunk)
+        slots=args.slots, chunk=args.chunk, piggyback=args.piggyback)
     dt = time.perf_counter() - t0
 
     sink = open(args.out, "w") if args.out else sys.stdout

@@ -520,7 +520,8 @@ class RefScorer:
     def generate_batch(self, requests, max_new_tokens: int = 64,
                        eos_token_id: int = 151645,
                        pad_token_id: int = 151643,
-                       slots: int = 8, chunk: int = 16):
+                       slots: int = 8, chunk: int = 16,
+                       piggyback: bool = False):
         """Continuous-batching generation over many (image, prompt)
         requests through models/serve.GenServer — the production
         serving surface (the reference's stage-1/2 twin inherits HF
@@ -556,7 +557,8 @@ class RefScorer:
                 max_new=max_new_tokens, chunk=chunk,
                 eos_id=eos_token_id, pad_id=pad_token_id,
                 dtype=self._jnp_dtype(),
-                decode_params=self._decode_params)
+                decode_params=self._decode_params,
+                piggyback=piggyback)
             rid_to_idx = {}
             for i in idxs:
                 patches, _, _, ids, mask, pos, _, w, h = prepped[i]

@@ -34,6 +34,26 @@ serving loop wanting it would thread an rng through the state tuple).
 Decode numerics are the models/ref_generate ones (same param tree,
 same ops/attention.gqa_attention) — tests/test_serve.py pins
 token-exact agreement with ``ref_generate`` per request.
+
+Piggyback (chunked) prefill (``piggyback=True``): the b=8 decode step
+is HBM-bound — every step streams the full decoder weight set for 8
+token rows, leaving the MXU mostly idle — while the 384-token
+admission prefill is the same weight stream with 384 rows. So instead
+of running admission as a separate compute-bound program (~13 ms of
+decoder FLOPs per admit, 20% of the serving wall clock — PERF.md
+round-4 gap accounting), the prompt rides the decode chunk:
+``_encode_prompt`` (vision tower + embedding assembly only, the
+genuinely compute-bound ~half of admission) runs once per request,
+then ``_decode_chunk_pb`` appends F = ceil(P/chunk) prompt rows to
+every decode step. The QKV/MLP matmuls run on B+F rows sharing ONE
+weight read (the prompt rows are ~free at these arithmetic
+intensities), the segment's post-rope KV is scattered into the
+admitted slot's prompt columns, and per-row validity masks give exact
+causal semantics. The admitted slot activates at the END of the chunk
+(first sampled token parked in cur_tok, emitted next chunk — the same
+stream the classic ``_admit`` path produces). One admission per chunk;
+extra free slots fall back to the classic admit (startup fill,
+completion bursts).
 """
 
 from __future__ import annotations
@@ -257,6 +277,223 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     return toks.T, state
 
 
+def _embed_prompt(mod, patches, input_ids, boxes_xyxy, ori_wh,
+                  visual_start, object_positions):
+    """RefModules method: the embedding-assembly half of the prefill —
+    vision tower + RoI object features + token embeddings with the
+    image/object scatters — STOPPING before the decoder. Returns
+    ((P, D) merged embeddings, (n_taps, V, D) stacked deepstack taps).
+    The decoder half runs inside _decode_chunk_pb, riding the
+    HBM-bound decode steps."""
+    img_tokens, obj, taps = mod._vision_and_objects(
+        patches, boxes_xyxy, ori_wh)
+    x = mod.embed(input_ids[None])                      # (1, P, D)
+    x = jax.lax.dynamic_update_slice_in_dim(
+        x, img_tokens[None].astype(x.dtype), visual_start, axis=1)
+    x = mod._scatter_objects(x, obj, object_positions)
+    dt = x.dtype
+    return x[0], jnp.stack([t.astype(dt) for t in taps])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _encode_prompt(cfg: RefCfg, grid_h: int, grid_w: int, dtype,
+                   params, patches, input_ids, boxes_xyxy, ori_wh,
+                   object_positions, visual_start):
+    from wedetect_tpu.models.ref import RefModules
+
+    mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
+    emb, ds = mod.apply(
+        {"params": params}, patches, input_ids, boxes_xyxy, ori_wh,
+        visual_start, object_positions, method=_embed_prompt)
+    return emb.astype(dtype), ds.astype(dtype)
+
+
+def _pb_layer(p, c, x, cos, sin, cache_k, cache_v, wcol_dec,
+              kv_valid_dec, kv_valid_pref, rows_pref, offs, pend_slot,
+              n_dec):
+    """One decoder layer over B decode rows + F piggybacked prompt
+    rows. The QKV/MLP matmuls run on the CONCATENATED (B+F, 1, D)
+    rows — one weight read serves both — then the two row groups
+    split only for the cache scatter and attention:
+
+    - decode rows (first n_dec): identical to _decode_layer_rowwise
+      (per-row write column, per-row validity over the full cache).
+    - prompt rows: K/V scattered into the admitted slot's prompt
+      columns ``offs`` (rows_pref carries the OOB sentinel for pad
+      rows / idle dispatches — jax scatter drops them), attention over
+      the slot's prompt region only under kv_valid_pref (F, P), which
+      encodes both intra-segment causality and the prompt's padding
+      mask. Earlier segments' K/V are already in the cache and this
+      segment's are written above, so the einsum sees exactly the
+      classic prefill's key set per row."""
+    bt = x.shape[0]
+    eps = c.rms_eps
+    dt = x.dtype
+    y = _rms(x, p["input_ln"]["scale"], eps)
+    q = matmul_any(y, p["q_proj"], dt)
+    k = matmul_any(y, p["k_proj"], dt)
+    v = matmul_any(y, p["v_proj"], dt)
+    q = _rms(q.reshape(bt, 1, c.heads, c.head_dim),
+             p["q_norm"]["scale"], eps)
+    k = _rms(k.reshape(bt, 1, c.kv_heads, c.head_dim),
+             p["k_norm"]["scale"], eps)
+    v = v.reshape(bt, 1, c.kv_heads, c.head_dim)
+    q, k = _apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
+    rows = jnp.arange(n_dec)
+    cache_k = cache_k.at[rows, wcol_dec].set(
+        k[:n_dec, 0].astype(cache_k.dtype))
+    cache_v = cache_v.at[rows, wcol_dec].set(
+        v[:n_dec, 0].astype(cache_v.dtype))
+    cache_k = cache_k.at[rows_pref, offs].set(
+        k[n_dec:, 0].astype(cache_k.dtype))
+    cache_v = cache_v.at[rows_pref, offs].set(
+        v[n_dec:, 0].astype(cache_v.dtype))
+    o_dec = gqa_attention(q[:n_dec], cache_k, cache_v, causal=False,
+                          kv_valid=kv_valid_dec,
+                          sm_scale=1.0 / math.sqrt(c.head_dim),
+                          impl="einsum")
+    # prompt-row attention against the slot's prompt region (exact
+    # einsum twin of ops/attention._reference_attention, grouped-KV
+    # without the repeat: query head j = kv*G + g reads kv head kv)
+    f = bt - n_dec
+    p_len = kv_valid_pref.shape[1]
+    g = c.heads // c.kv_heads
+    slot_r = jnp.minimum(pend_slot, n_dec - 1)
+    ck = jax.lax.dynamic_index_in_dim(cache_k, slot_r, axis=0,
+                                      keepdims=False)[:p_len]
+    cv = jax.lax.dynamic_index_in_dim(cache_v, slot_r, axis=0,
+                                      keepdims=False)[:p_len]
+    qp = q[n_dec:, 0].reshape(f, c.kv_heads, g, c.head_dim)
+    logits = jnp.einsum("fkgd,pkd->fkgp", qp, ck).astype(jnp.float32)
+    logits = logits * (1.0 / math.sqrt(c.head_dim))
+    maskb = kv_valid_pref.astype(bool)[:, None, None, :]
+    logits = logits + jnp.where(maskb, 0.0, jnp.float32(-1e9))
+    pr = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    o_pref = jnp.einsum("fkgp,pkd->fkgd", pr, cv).reshape(
+        f, 1, c.heads * c.head_dim)
+    o = jnp.concatenate(
+        [o_dec.astype(dt).reshape(n_dec, 1, -1), o_pref.astype(dt)],
+        axis=0)
+    x = x + matmul_any(o, p["o_proj"], dt)
+    y = _rms(x, p["post_ln"]["scale"], eps)
+    gate = matmul_any(y, p["gate_proj"], dt)
+    up = matmul_any(y, p["up_proj"], dt)
+    return x + matmul_any(jax.nn.silu(gate) * up, p["down_proj"], dt), \
+        cache_k, cache_v
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+                   donate_argnums=(6,))
+def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
+                     dtype, params, state, pend_emb, pend_ds,
+                     pend_mask, pend_pos, pend_len, pend_np0,
+                     pend_slot, visual_start):
+    """_decode_chunk with ONE piggybacked admission: each of the T
+    scan steps also processes F = ceil(P/T) rows of the pending
+    prompt, so the whole prompt's decoder prefill completes within the
+    chunk, riding the decode steps' weight reads. The admitted slot
+    installs (done=False, first token parked) AFTER the scan, so its
+    first emission lands in the NEXT chunk — exactly the classic
+    _admit stream. An idle dispatch passes pend_slot == slots
+    (out-of-bounds): every install scatter drops and the prompt rows
+    are inert throwaway compute.
+
+    pend_emb (P, D) / pend_ds (n_taps, V, D) come from _encode_prompt;
+    pend_mask (P,) int32; pend_pos (3, P) MRoPE ids; pend_len / pend_np0
+    / pend_slot / visual_start () int32 scalars (all traced — one
+    compile serves admissions and idle dispatches alike)."""
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    c = cfg.text
+    b, p_len = prompt_mask.shape
+    g_cap = caches[0][0].shape[1] - p_len
+    f = -(-p_len // chunk)
+    l_pad = f * chunk
+    tp = params["text"]
+    emb = params["embed"]["embed_tokens"]["embedding"]
+    gen_cols = jnp.arange(g_cap, dtype=jnp.int32)
+    prompt_cols = jnp.arange(p_len, dtype=jnp.int32)
+    n_taps, n_vis = pend_ds.shape[0], pend_ds.shape[1]
+
+    # install the admitted prompt's mask up front: the slot stays
+    # done=True for the whole chunk so its decode rows are inert
+    prompt_mask = prompt_mask.at[pend_slot].set(
+        pend_mask.astype(jnp.int32))
+    pe = jnp.pad(pend_emb, ((0, l_pad - p_len), (0, 0)))
+    pp = jnp.pad(pend_pos, ((0, 0), (0, l_pad - p_len)))
+
+    def body(carry, t):
+        caches, gen_count, next_pos, cur_tok, done, h_pend = carry
+        emitted = jnp.where(done, pad_id, cur_tok)
+        done = done | (cur_tok == eos_id)
+        x_dec = emb[cur_tok][:, None, :].astype(dtype)
+        seg = t * f
+        offs = seg + jnp.arange(f, dtype=jnp.int32)
+        x_pref = jax.lax.dynamic_slice(
+            pe, (seg, 0), (f, pe.shape[1]))[:, None, :].astype(dtype)
+        x = jnp.concatenate([x_dec, x_pref], axis=0)
+        pos_dec = jnp.broadcast_to(next_pos[None, :, None], (3, b, 1))
+        pos_pref = jax.lax.dynamic_slice(
+            pp, (0, seg), (3, f))[:, :, None]
+        cos, sin = interleaved_mrope_cos_sin(
+            jnp.concatenate([pos_dec, pos_pref], axis=1), c)
+        wcol_dec = p_len + jnp.minimum(gen_count, g_cap - 1)
+        kv_valid_dec = jnp.concatenate(
+            [prompt_mask,
+             (gen_cols[None] <= jnp.minimum(gen_count, g_cap - 1)
+              [:, None]).astype(jnp.int32)], axis=1)
+        kv_valid_pref = ((prompt_cols[None, :] <= offs[:, None])
+                         & (pend_mask > 0)[None, :]).astype(jnp.int32)
+        rows_pref = jnp.where(offs < p_len, pend_slot, b)
+        new_caches = []
+        for i in range(c.layers):
+            kc, vc = caches[i]
+            x, kc, vc = _pb_layer(
+                tp[f"layer{i}"], c, x, cos, sin, kc, vc, wcol_dec,
+                kv_valid_dec, kv_valid_pref, rows_pref, offs,
+                pend_slot, b)
+            if i < n_taps:
+                # deepstack tap injection at the vision span, exactly
+                # where prefix_pass injects it (after layer i)
+                idx = offs - visual_start
+                dvalid = (idx >= 0) & (idx < n_vis)
+                add = pend_ds[i][jnp.clip(idx, 0, n_vis - 1)]
+                add = jnp.where(dvalid[:, None], add,
+                                jnp.zeros_like(add)).astype(dtype)
+                x = x.at[b:, 0, :].add(add)
+            new_caches.append((kc, vc))
+        h = _rms(x[:b], tp["norm"]["scale"], c.rms_eps)[:, 0]
+        nxt = jnp.argmax(_lm_logits(params, h),
+                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cur_tok, nxt)
+        # capture the prompt's last-real-token hidden when this
+        # step's segment contains it (used to sample tok0 post-scan)
+        last_idx = pend_len - 1 - seg
+        in_seg = (last_idx >= 0) & (last_idx < f)
+        h_pref = _rms(x[b:], tp["norm"]["scale"], c.rms_eps)[:, 0]
+        h_cand = h_pref[jnp.clip(last_idx, 0, f - 1)]
+        h_pend = jnp.where(in_seg, h_cand, h_pend)
+        gen_count = gen_count + 1
+        next_pos = next_pos + 1
+        return (tuple(new_caches), gen_count, next_pos, nxt, done,
+                h_pend), emitted
+
+    h0 = jnp.zeros((c.hidden,), dtype)
+    (caches, gen_count, next_pos, cur_tok, done, h_pend), toks = \
+        jax.lax.scan(
+            body, (caches, gen_count, next_pos, cur_tok, done, h0),
+            jnp.arange(chunk, dtype=jnp.int32))
+    # activate the admitted slot (all scatters drop on the OOB
+    # sentinel): first token parked, emitted by the next chunk
+    tok0 = jnp.argmax(_lm_logits(params, h_pend[None]),
+                      axis=-1).astype(jnp.int32)[0]
+    gen_count = gen_count.at[pend_slot].set(0)
+    next_pos = next_pos.at[pend_slot].set(pend_np0)
+    cur_tok = cur_tok.at[pend_slot].set(tok0)
+    done = done.at[pend_slot].set(False)
+    state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done)
+    return toks.T, state
+
+
 class GenServer:
     """Continuous-batching greedy generation over a fixed slot pool.
 
@@ -282,15 +519,25 @@ class GenServer:
     bought nothing and the vmapped lanes cost ~7% — kept as an option
     for deployments with many tiny prompts where b=1 prefill is
     launch-bound.
+
+    ``piggyback=True`` rides each steady-state admission's decoder
+    prefill on the decode chunks (see module docstring): one
+    admission per chunk goes through _encode_prompt + _decode_chunk_pb
+    (its decoder FLOPs share the HBM-bound decode steps' weight
+    reads); additional free slots (startup fill, completion bursts)
+    still use the classic _admit. With ``decode_params`` set
+    (weight-only int8), the ridden prompt rows read the int8 decode
+    tree too — classic admission keeps the prefill full-precision.
     """
 
     def __init__(self, cfg: RefCfg, grid_h: int, grid_w: int, params,
                  *, slots: int = 8, prompt_len: int, max_new: int,
                  chunk: int = 16, eos_id: int, pad_id: int = 0,
                  dtype=jnp.float32, decode_params=None,
-                 batch_admit: bool = False):
+                 batch_admit: bool = False, piggyback: bool = False):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
         self.batch_admit = batch_admit
+        self.piggyback = piggyback
         self.cfg, self.gh, self.gw = cfg, grid_h, grid_w
         self.params = params
         self.decode_params = decode_params
@@ -316,6 +563,24 @@ class GenServer:
         self._buf = {}             # req id -> [tokens]
         self._out = {}             # req id -> np.ndarray (finished)
         self._next_id = 0
+        # piggyback lane: (slot, rid, encoded args) reserved by
+        # _admit_queued, consumed by the next _dispatch_chunk
+        self._pend_attach = None
+        self._pend_zero = None
+        if piggyback:
+            m = cfg.vision.merge
+            n_vis = (grid_h // m) * (grid_w // m)
+            n_taps = len(cfg.vision.deepstack_idx)
+            d = cfg.text.hidden
+            self._pend_zero = (
+                jnp.zeros((prompt_len, d), dtype),
+                jnp.zeros((n_taps, n_vis, d), dtype),
+                jnp.zeros((prompt_len,), jnp.int32),
+                jnp.zeros((3, prompt_len), jnp.int32),
+                jnp.zeros((), jnp.int32),            # pend_len
+                jnp.zeros((), jnp.int32),            # pend_np0
+                jnp.asarray(slots, jnp.int32),       # OOB sentinel
+                jnp.zeros((), jnp.int32))            # visual_start
         # scheduling counters for the PERF.md gap accounting:
         # chunks * chunk * slots = decode slot-steps issued; delivered
         # tokens / slot-steps = occupancy (the rest is slot idle +
@@ -368,6 +633,15 @@ class GenServer:
         decoder prefills onto the MXU instead of running N singleton
         programs."""
         free = self._free_slots()
+        if self.piggyback and self._pend_attach is None and free \
+                and self._queue:
+            # reserve ONE admission for the piggyback lane (consumed
+            # by the next _dispatch_chunk); vision encode dispatches
+            # asynchronously now. Remaining free slots fall through to
+            # the classic admit below (startup fill, bursts).
+            slot = free.pop(0)
+            item = self._queue.popleft()
+            self._pend_attach = (slot, item[0], self._encode(item))
         while free and self._queue:
             n = min(len(free), len(self._queue))
             if self.batch_admit:
@@ -434,16 +708,60 @@ class GenServer:
                     self.stats.get("admit_batches", 0) + 1
             self.stats["admits"] += n
 
+    def _encode(self, item):
+        """Dispatch the embedding-assembly half of one admission
+        (async); returns the _decode_chunk_pb pend args minus slot."""
+        (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
+         objp) = item
+        emb, ds = _encode_prompt(
+            self.cfg, self.gh, self.gw, self.dtype, self.params,
+            jnp.asarray(patches),
+            jnp.asarray(np.asarray(ids).reshape(self.P)),
+            jnp.asarray(boxes), jnp.asarray(ori), jnp.asarray(objp),
+            jnp.asarray(vs, jnp.int32))
+        return (emb, ds,
+                jnp.asarray(np.asarray(mask).reshape(self.P),
+                            jnp.int32),
+                jnp.asarray(np.asarray(pos).reshape(3, self.P),
+                            jnp.int32),
+                jnp.asarray(int(np.asarray(mask).sum()), jnp.int32),
+                jnp.asarray(np0, jnp.int32),
+                jnp.asarray(vs, jnp.int32))
+
     def _dispatch_chunk(self):
         """Dispatch one decode chunk (async); returns the device
-        tokens array and the slot->rid mapping as of this chunk."""
+        tokens array and the slot->rid mapping as of this chunk. In
+        piggyback mode the chunk also carries the reserved admission's
+        prompt rows; the admitted rid joins the live map AFTER the
+        snapshot (its first emission lands in the next chunk — exactly
+        when _decode_chunk_pb's post-scan install makes it appear)."""
         dp = (self.params if self.decode_params is None
               else self.decode_params)
-        toks, self._state = _decode_chunk(
+        if not self.piggyback:
+            toks, self._state = _decode_chunk(
+                self.cfg, self.chunk, self.eos_id, self.pad_id,
+                self.dtype, dp, self._state)
+            self.stats["chunks"] += 1
+            return toks, dict(self._live)
+        pend = self._pend_attach
+        if pend is None:
+            emb, ds, mask, pos, ln, np0, slot, vs = self._pend_zero
+        else:
+            slot_i, rid, (emb, ds, mask, pos, ln, np0, vs) = pend
+            slot = jnp.asarray(slot_i, jnp.int32)
+        toks, self._state = _decode_chunk_pb(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
-            self.dtype, dp, self._state)
+            self.dtype, dp, self._state, emb, ds, mask, pos, ln, np0,
+            slot, vs)
+        snap = dict(self._live)
+        if pend is not None:
+            self._live[pend[0]] = pend[1]
+            self._pend_attach = None
+            self.stats["admits"] += 1
+            self.stats["pb_admits"] = \
+                self.stats.get("pb_admits", 0) + 1
         self.stats["chunks"] += 1
-        return toks, dict(self._live)
+        return toks, snap
 
     def _collect(self, toks, live_snap):
         """Block on one chunk's tokens and drain finished requests.
