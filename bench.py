@@ -579,14 +579,16 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 
 def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                 P=384, chunks=(16, 32), int8_prefill=False,
-                int8_decode=False):
+                int8_decode=False, piggyback=False):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
     static-batch marginal rate (bf16, or int8 when int8_decode=True —
     like-for-like pairs). int8_prefill quantizes the admission
     prefills (ops/int8.py dynamic int8); int8_decode uses the
-    weight-only int8 decode tree (models/quant)."""
+    weight-only int8 decode tree (models/quant); piggyback rides each
+    steady-state admission's decoder prefill on the decode chunks
+    (models/serve._decode_chunk_pb)."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -618,7 +620,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         srv = GenServer(cfg, gh, gw, params, slots=slots,
                         prompt_len=P, max_new=new, chunk=chunk,
                         eos_id=2, dtype=jnp.bfloat16,
-                        decode_params=decode_params)
+                        decode_params=decode_params,
+                        piggyback=piggyback)
         # warm with slots-many submissions so every ragged length and
         # slot index seen in the timed run is exercised (ADVICE r3)
         fill(srv, slots)
@@ -628,7 +631,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
             srv2 = GenServer(cfg, gh, gw, params, slots=slots,
                              prompt_len=P, max_new=new, chunk=chunk,
                              eos_id=2, dtype=jnp.bfloat16,
-                             decode_params=decode_params)
+                             decode_params=decode_params,
+                             piggyback=piggyback)
             t0 = time.perf_counter()
             fill(srv2, nreq)
             out = srv2.run(pipeline=pipeline)

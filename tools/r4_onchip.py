@@ -96,6 +96,7 @@ def diag_b16():
 
 def main():
     which = set(sys.argv[1:]) or {"b16", "serve", "gen", "spec"}
+    bench._enable_compile_cache()
     out = {}
     if os.path.exists(OUT_PATH):
         out = json.load(open(OUT_PATH))
@@ -130,6 +131,26 @@ def main():
         _save(out)
         out["serve_ab_i8p"] = bench.bench_serve(chunks=(8,),
                                                 int8_prefill=True)
+        _save(out)
+    if "pb" in which:
+        # piggyback chunked prefill vs classic admission, same
+        # session: the pb decode chunk carries F=ceil(384/chunk)
+        # prompt rows per step, so sweep chunk (F=48 vs 24) and pair
+        # with the int8 decode tree (where decode steps are cheapest
+        # and prefill is relatively biggest).
+        out["pb_classic_c8"] = bench.bench_serve(chunks=(8,))
+        _save(out)
+        out["pb_piggy_c8"] = bench.bench_serve(chunks=(8,),
+                                               piggyback=True)
+        _save(out)
+        out["pb_piggy_c16"] = bench.bench_serve(chunks=(16,),
+                                                piggyback=True)
+        _save(out)
+        out["pb_classic_i8_c8"] = bench.bench_serve(
+            chunks=(8,), int8_decode=True)
+        _save(out)
+        out["pb_piggy_i8_c8"] = bench.bench_serve(
+            chunks=(8,), int8_decode=True, piggyback=True)
         _save(out)
     print(f"# total {time.time() - t0:.0f}s", file=sys.stderr)
     print(json.dumps(out))

@@ -564,23 +564,10 @@ class GenServer:
         self._out = {}             # req id -> np.ndarray (finished)
         self._next_id = 0
         # piggyback lane: (slot, rid, encoded args) reserved by
-        # _admit_queued, consumed by the next _dispatch_chunk
+        # _admit_queued, consumed by the next _dispatch_chunk (which
+        # falls back to the plain _decode_chunk when nothing pends —
+        # idle chunks never pay the prompt rows)
         self._pend_attach = None
-        self._pend_zero = None
-        if piggyback:
-            m = cfg.vision.merge
-            n_vis = (grid_h // m) * (grid_w // m)
-            n_taps = len(cfg.vision.deepstack_idx)
-            d = cfg.text.hidden
-            self._pend_zero = (
-                jnp.zeros((prompt_len, d), dtype),
-                jnp.zeros((n_taps, n_vis, d), dtype),
-                jnp.zeros((prompt_len,), jnp.int32),
-                jnp.zeros((3, prompt_len), jnp.int32),
-                jnp.zeros((), jnp.int32),            # pend_len
-                jnp.zeros((), jnp.int32),            # pend_np0
-                jnp.asarray(slots, jnp.int32),       # OOB sentinel
-                jnp.zeros((), jnp.int32))            # visual_start
         # scheduling counters for the PERF.md gap accounting:
         # chunks * chunk * slots = decode slot-steps issued; delivered
         # tokens / slot-steps = occupancy (the rest is slot idle +
@@ -737,18 +724,18 @@ class GenServer:
         when _decode_chunk_pb's post-scan install makes it appear)."""
         dp = (self.params if self.decode_params is None
               else self.decode_params)
-        if not self.piggyback:
+        pend = self._pend_attach if self.piggyback else None
+        if pend is None:
+            # no admission pending: plain chunk — idle dispatches must
+            # not pay the F prompt rows (measured 12% heavier steps;
+            # PERF.md "Piggyback prefill: measured")
             toks, self._state = _decode_chunk(
                 self.cfg, self.chunk, self.eos_id, self.pad_id,
                 self.dtype, dp, self._state)
             self.stats["chunks"] += 1
             return toks, dict(self._live)
-        pend = self._pend_attach
-        if pend is None:
-            emb, ds, mask, pos, ln, np0, slot, vs = self._pend_zero
-        else:
-            slot_i, rid, (emb, ds, mask, pos, ln, np0, vs) = pend
-            slot = jnp.asarray(slot_i, jnp.int32)
+        slot_i, rid, (emb, ds, mask, pos, ln, np0, vs) = pend
+        slot = jnp.asarray(slot_i, jnp.int32)
         toks, self._state = _decode_chunk_pb(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
             self.dtype, dp, self._state, emb, ds, mask, pos, ln, np0,
