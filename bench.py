@@ -579,7 +579,7 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 
 def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                 P=384, chunks=(16, 32), int8_prefill=False,
-                int8_decode=False, piggyback=False):
+                int8_decode=False, piggyback=False, batch_admit=False):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
@@ -621,18 +621,21 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                         prompt_len=P, max_new=new, chunk=chunk,
                         eos_id=2, dtype=jnp.bfloat16,
                         decode_params=decode_params,
-                        piggyback=piggyback)
+                        piggyback=piggyback, batch_admit=batch_admit)
         # warm with slots-many submissions so every ragged length and
         # slot index seen in the timed run is exercised (ADVICE r3)
         fill(srv, slots)
         srv.run()                                 # compile both paths
+        del srv                # free the warm KV pool (compiles live
+        gc.collect()           # in the jit cache, not the server)
 
         def timed_run(pipeline):
             srv2 = GenServer(cfg, gh, gw, params, slots=slots,
                              prompt_len=P, max_new=new, chunk=chunk,
                              eos_id=2, dtype=jnp.bfloat16,
                              decode_params=decode_params,
-                             piggyback=piggyback)
+                             piggyback=piggyback,
+                             batch_admit=batch_admit)
             t0 = time.perf_counter()
             fill(srv2, nreq)
             out = srv2.run(pipeline=pipeline)
@@ -644,7 +647,9 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         steps = srv2.stats["chunks"] * chunk * slots
         res[f"chunk{chunk}_tok_s"] = round(total / dt, 1)
         res[f"chunk{chunk}_occupancy"] = round(total / steps, 3)
-        _, total_s, dt_s = timed_run(False)
+        srv_sync, total_s, dt_s = timed_run(False)
+        del srv_sync           # one live KV pool at a time: 3 pools
+        gc.collect()           # at slots=64 would exceed 16 GB HBM
         res[f"chunk{chunk}_sync_tok_s"] = round(total_s / dt_s, 1)
         # device-time microprobes on the warm server for the gap
         # accounting: one synced prefill, one synced decode chunk

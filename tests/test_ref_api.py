@@ -363,5 +363,35 @@ def test_generate_batch_matches_generate_text(tiny, monkeypatch):
                                 pad_token_id=0, slots=2, chunk=2)
     assert got == want
 
+
+def test_generate_batch_sampling_reproducible(tiny, monkeypatch):
+    """temperature > 0 through generate_batch: request i samples with
+    seed + i (models/serve._sample_rows), so the same batch re-run
+    with different slots/chunk is byte-identical, and distinct seeds
+    change the streams."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    def fake_patches(img, **kw):
+        rng = np.random.default_rng(1)
+        return rng.standard_normal(
+            (64, 3 * 2 * 4 * 4)).astype(np.float32), 8, 8
+
+    monkeypatch.setattr(vp, "image_to_patches", fake_patches)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=FakeTok(),
+                       max_proposals=3, device_patchify=False)
+    img = np.zeros((64, 64, 3), np.uint8)
+    prompts = ["a", "bb", "ccc", "dddd"]
+    kw = dict(max_new_tokens=5, eos_token_id=95, pad_token_id=0,
+              temperature=0.9)
+    a = scorer.generate_batch([(img, p) for p in prompts],
+                              slots=2, chunk=2, seed=7, **kw)
+    b = scorer.generate_batch([(img, p) for p in prompts],
+                              slots=3, chunk=3, seed=7, **kw)
+    assert a == b
+    c = scorer.generate_batch([(img, p) for p in prompts],
+                              slots=2, chunk=2, seed=8, **kw)
+    assert c != a
+
 # heavy golden/e2e file: excluded from the fast tier (pytest.ini)
 pytestmark = pytest.mark.slow

@@ -45,6 +45,11 @@ def parse_args(argv=None):
     p.add_argument("--piggyback", action="store_true",
                    help="ride admission prefills on the decode chunks"
                         " (models/serve chunked prefill)")
+    p.add_argument("--temperature", type=float, default=0.0,
+                   help="sampling temperature (0 = greedy); streams "
+                        "are per-request reproducible via --seed + "
+                        "request index, independent of scheduling")
+    p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
 
@@ -75,7 +80,8 @@ def main(argv=None):
     texts = scorer.generate_batch(
         [(img, prompt) for img, (_, prompt) in zip(images, reqs)],
         max_new_tokens=args.max_new_tokens, eos_token_id=eos,
-        slots=args.slots, chunk=args.chunk, piggyback=args.piggyback)
+        slots=args.slots, chunk=args.chunk, piggyback=args.piggyback,
+        temperature=args.temperature, seed=args.seed)
     dt = time.perf_counter() - t0
 
     sink = open(args.out, "w") if args.out else sys.stdout

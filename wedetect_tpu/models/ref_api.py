@@ -521,7 +521,8 @@ class RefScorer:
                        eos_token_id: int = 151645,
                        pad_token_id: int = 151643,
                        slots: int = 8, chunk: int = 16,
-                       piggyback: bool = False):
+                       piggyback: bool = False,
+                       temperature: float = 0.0, seed: int = 0):
         """Continuous-batching generation over many (image, prompt)
         requests through models/serve.GenServer — the production
         serving surface (the reference's stage-1/2 twin inherits HF
@@ -531,7 +532,10 @@ class RefScorer:
         grid_buckets exactly as in score()/generate_text()), each
         group's prompts padded to one shared length, and every group
         runs a slot pool with mid-run admission + pipelined chunked
-        decode. Greedy only. Returns decoded texts in input order."""
+        decode. temperature > 0 samples with per-request reproducible
+        streams (request i uses seed + i; scheduling-invariant — see
+        models/serve._sample_rows). Returns decoded texts in input
+        order."""
         import jax.numpy as jnp
 
         from wedetect_tpu.models.serve import GenServer
@@ -558,7 +562,7 @@ class RefScorer:
                 eos_id=eos_token_id, pad_id=pad_token_id,
                 dtype=self._jnp_dtype(),
                 decode_params=self._decode_params,
-                piggyback=piggyback)
+                piggyback=piggyback, temperature=temperature)
             rid_to_idx = {}
             for i in idxs:
                 patches, _, _, ids, mask, pos, _, w, h = prepped[i]
@@ -573,7 +577,7 @@ class RefScorer:
                     jnp.asarray(patches), ids, mask, pos, visual_start,
                     next_pos0,
                     boxes_xyxy=np.array([[0, 0, w, h]], np.float32),
-                    ori_wh=np.array([w, h], np.float32))
+                    ori_wh=np.array([w, h], np.float32), seed=seed + i)
                 rid_to_idx[rid] = i
             out = srv.run()
             for rid, toks in out.items():

@@ -29,11 +29,17 @@ TPU design (everything static-shaped, two compiled programs total):
 Both programs donate the engine state, so the multi-GB KV cache is
 updated in place instead of being copied every chunk.
 
-Greedy-only (temperature sampling lives in models/ref_generate; a
-serving loop wanting it would thread an rng through the state tuple).
-Decode numerics are the models/ref_generate ones (same param tree,
-same ops/attention.gqa_attention) — tests/test_serve.py pins
-token-exact agreement with ``ref_generate`` per request.
+Greedy by default; ``temperature > 0`` samples with PER-REQUEST
+reproducible streams: generated token i of a request with seed s is
+``categorical(fold_in(PRNGKey(s), i), logits / T)`` (see
+``_sample_rows``), so a request's tokens do not depend on the slot it
+landed in, the chunk size, the admission order, or what else shares
+the batch — unlike HF ``.generate``'s shared-generator sampling, a
+rerun of one request reproduces exactly. Decode numerics are the
+models/ref_generate ones (same param tree, same
+ops/attention.gqa_attention) — tests/test_serve.py pins token-exact
+agreement with ``ref_generate`` per request (greedy) and
+scheduling-invariance of the sampled streams.
 
 Piggyback (chunked) prefill (``piggyback=True``): the b=8 decode step
 is HBM-bound — every step streams the full decoder weight set for 8
@@ -80,6 +86,29 @@ from wedetect_tpu.ops.attention import gqa_attention
 #   next_pos:    (B,)   int32 — next MRoPE position per slot
 #   cur_tok:     (B,)   int32 — next token to FEED (already emitted)
 #   done:        (B,)   bool  — row hit eos / slot is empty
+#   seeds:       (B,)   int32 — per-request sampling seed (T > 0)
+
+
+def _sample_rows(logits, temperature: float, seeds, idx):
+    """Per-row temperature sampling with scheduling-invariant streams:
+    generated token ``idx[r]`` of the request with seed ``seeds[r]`` is
+    ``categorical(fold_in(PRNGKey(seed), idx), logits / T)`` — a pure
+    function of (seed, token index), so the stream does not depend on
+    the slot the request landed in, the chunk size, the admission
+    order, or what else shares the batch (pinned in tests/test_serve).
+    temperature == 0.0 is greedy argmax (seeds unused); the reference
+    twin inherits HF ``.generate``'s do_sample path
+    (/root/reference/wedetect_ref/models/qwen3vl_grounding.py:311-379),
+    which this replaces with a reproducible per-request scheme."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def one(lg, s, i):
+        k = jax.random.fold_in(jax.random.PRNGKey(s), i)
+        return jax.random.categorical(
+            k, lg.astype(jnp.float32) / temperature, axis=-1)
+
+    return jax.vmap(one)(logits, seeds, idx).astype(jnp.int32)
 
 
 def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
@@ -121,12 +150,13 @@ def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
         cache_k, cache_v
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11, 17),
                    donate_argnums=(6,))
 def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
            decode_params, state, slot, patches, input_ids, attn_mask,
            visual_start: int, position_ids, next_pos0, boxes_xyxy,
-           ori_wh, object_positions):
+           ori_wh, object_positions, temperature: float = 0.0,
+           seed=0):
     """Prefill ONE request and install it into slot ``slot``.
 
     input_ids/attn_mask (1, P); position_ids (3, 1, P); next_pos0 ()
@@ -136,7 +166,8 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     parked in cur_tok; the next _decode_chunk emits it."""
     from wedetect_tpu.models.ref import RefModules
 
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
+        state
     mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
     hidden, kvs = mod.apply(
         {"params": params}, patches, input_ids, attn_mask,
@@ -146,8 +177,9 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     h_last = jax.lax.dynamic_index_in_dim(hidden[0], last, axis=0,
                                           keepdims=False)
     dp = params if decode_params is None else decode_params
-    tok0 = jnp.argmax(_lm_logits(dp, h_last[None]),
-                      axis=-1).astype(jnp.int32)[0]
+    seed = jnp.asarray(seed, jnp.int32)
+    tok0 = _sample_rows(_lm_logits(dp, h_last[None]), temperature,
+                        seed[None], jnp.zeros((1,), jnp.int32))[0]
 
     new_caches = []
     for (kc, vc), (k, v) in zip(caches, kvs):
@@ -162,16 +194,18 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     next_pos = next_pos.at[slot].set(next_pos0)
     cur_tok = cur_tok.at[slot].set(tok0)
     done = done.at[slot].set(False)
+    seeds = seeds.at[slot].set(seed)
     return (tuple(new_caches), prompt_mask, gen_count, next_pos,
-            cur_tok, done)
+            cur_tok, done, seeds)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11, 17),
                    donate_argnums=(6,))
 def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
                 decode_params, state, slots, patches, input_ids,
                 attn_mask, visual_start: int, position_ids, next_pos0,
-                boxes_xyxy, ori_wh, object_positions):
+                boxes_xyxy, ori_wh, object_positions,
+                temperature: float = 0.0, lane_seeds=None):
     """Prefill N requests in ONE vmapped forward and install them into
     ``slots`` (N,). Batched admission: slot completions cluster in
     waves (all slots admitted together finish within a chunk or two of
@@ -188,7 +222,10 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     prefill and install nothing. One compile total."""
     from wedetect_tpu.models.ref import RefModules
 
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
+        state
+    if lane_seeds is None:
+        lane_seeds = jnp.zeros(slots.shape, jnp.int32)
     mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
 
     def one(patches_i, ids_i, mask_i, pos_i, boxes_i, ori_i, objp_i):
@@ -205,7 +242,9 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     h_last = jnp.take_along_axis(hidden, last[:, None, None],
                                  axis=1)[:, 0]
     dp = params if decode_params is None else decode_params
-    tok0 = jnp.argmax(_lm_logits(dp, h_last), axis=-1).astype(jnp.int32)
+    tok0 = _sample_rows(_lm_logits(dp, h_last), temperature,
+                        lane_seeds,
+                        jnp.zeros(lane_seeds.shape, jnp.int32))
 
     n, p_len = attn_mask.shape
     rows = slots[:, None]
@@ -222,19 +261,21 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     next_pos = next_pos.at[slots].set(next_pos0)
     cur_tok = cur_tok.at[slots].set(tok0)
     done = done.at[slots].set(False)
+    seeds = seeds.at[slots].set(lane_seeds)
     return (tuple(new_caches), prompt_mask, gen_count, next_pos,
-            cur_tok, done)
+            cur_tok, done, seeds)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7),
                    donate_argnums=(6,))
 def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
-                  dtype, params, state):
+                  dtype, params, state, temperature: float = 0.0):
     """T lockstep single-token steps across all slots; returns
     ((B, T) emitted tokens, new state). Emission order matches
     ref_generate: each step emits the carried token (pad for done /
     empty rows), marks done on eos, then computes the next token."""
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
+        state
     c = cfg.text
     b, p_len = prompt_mask.shape
     g_cap = caches[0][0].shape[1] - p_len
@@ -262,8 +303,10 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                 kv_valid)
             new_caches.append((kc, vc))
         h = _rms(x, tp["norm"]["scale"], c.rms_eps)[:, 0]
-        nxt = jnp.argmax(_lm_logits(params, h),
-                         axis=-1).astype(jnp.int32)
+        # generated-token index of nxt is gen_count + 1 (cur_tok was
+        # index gen_count) — see _sample_rows for the seeding scheme
+        nxt = _sample_rows(_lm_logits(params, h), temperature, seeds,
+                           gen_count + 1)
         nxt = jnp.where(done, cur_tok, nxt)
         gen_count = gen_count + 1
         next_pos = next_pos + 1
@@ -273,7 +316,8 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     (caches, gen_count, next_pos, cur_tok, done), toks = jax.lax.scan(
         body, (caches, gen_count, next_pos, cur_tok, done),
         jnp.arange(chunk, dtype=jnp.int32))
-    state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done)
+    state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done,
+             seeds)
     return toks.T, state
 
 
@@ -382,12 +426,13 @@ def _pb_layer(p, c, x, cos, sin, cache_k, cache_v, wcol_dec,
         cache_k, cache_v
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4),
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 15),
                    donate_argnums=(6,))
 def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                      dtype, params, state, pend_emb, pend_ds,
                      pend_mask, pend_pos, pend_len, pend_np0,
-                     pend_slot, visual_start):
+                     pend_slot, visual_start,
+                     temperature: float = 0.0, pend_seed=0):
     """_decode_chunk with ONE piggybacked admission: each of the T
     scan steps also processes F = ceil(P/T) rows of the pending
     prompt, so the whole prompt's decoder prefill completes within the
@@ -402,7 +447,9 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     pend_mask (P,) int32; pend_pos (3, P) MRoPE ids; pend_len / pend_np0
     / pend_slot / visual_start () int32 scalars (all traced — one
     compile serves admissions and idle dispatches alike)."""
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done = state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
+        state
+    pend_seed = jnp.asarray(pend_seed, jnp.int32)
     c = cfg.text
     b, p_len = prompt_mask.shape
     g_cap = caches[0][0].shape[1] - p_len
@@ -462,8 +509,8 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                 x = x.at[b:, 0, :].add(add)
             new_caches.append((kc, vc))
         h = _rms(x[:b], tp["norm"]["scale"], c.rms_eps)[:, 0]
-        nxt = jnp.argmax(_lm_logits(params, h),
-                         axis=-1).astype(jnp.int32)
+        nxt = _sample_rows(_lm_logits(params, h), temperature, seeds,
+                           gen_count + 1)
         nxt = jnp.where(done, cur_tok, nxt)
         # capture the prompt's last-real-token hidden when this
         # step's segment contains it (used to sample tok0 post-scan)
@@ -484,13 +531,16 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
             jnp.arange(chunk, dtype=jnp.int32))
     # activate the admitted slot (all scatters drop on the OOB
     # sentinel): first token parked, emitted by the next chunk
-    tok0 = jnp.argmax(_lm_logits(params, h_pend[None]),
-                      axis=-1).astype(jnp.int32)[0]
+    tok0 = _sample_rows(_lm_logits(params, h_pend[None]), temperature,
+                        pend_seed[None],
+                        jnp.zeros((1,), jnp.int32))[0]
     gen_count = gen_count.at[pend_slot].set(0)
     next_pos = next_pos.at[pend_slot].set(pend_np0)
     cur_tok = cur_tok.at[pend_slot].set(tok0)
     done = done.at[pend_slot].set(False)
-    state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done)
+    seeds = seeds.at[pend_slot].set(pend_seed)
+    state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done,
+             seeds)
     return toks.T, state
 
 
@@ -534,10 +584,12 @@ class GenServer:
                  *, slots: int = 8, prompt_len: int, max_new: int,
                  chunk: int = 16, eos_id: int, pad_id: int = 0,
                  dtype=jnp.float32, decode_params=None,
-                 batch_admit: bool = False, piggyback: bool = False):
+                 batch_admit: bool = False, piggyback: bool = False,
+                 temperature: float = 0.0):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
         self.batch_admit = batch_admit
         self.piggyback = piggyback
+        self.temperature = float(temperature)
         self.cfg, self.gh, self.gw = cfg, grid_h, grid_w
         self.params = params
         self.decode_params = decode_params
@@ -557,7 +609,8 @@ class GenServer:
             jnp.zeros((slots,), jnp.int32),
             jnp.zeros((slots,), jnp.int32),
             jnp.full((slots,), pad_id, jnp.int32),
-            jnp.ones((slots,), bool))
+            jnp.ones((slots,), bool),
+            jnp.zeros((slots,), jnp.int32))
         self._queue = deque()
         self._live = {}            # slot -> req id
         self._buf = {}             # req id -> [tokens]
@@ -576,11 +629,14 @@ class GenServer:
 
     def submit(self, patches, input_ids, attn_mask, position_ids,
                visual_start: int, next_pos0: int, boxes_xyxy=None,
-               ori_wh=None, object_positions=None) -> int:
+               ori_wh=None, object_positions=None, seed=None) -> int:
         """Queue one request. input_ids/attn_mask (P,) or (1, P);
         position_ids (3, P) or (3, 1, P). boxes/object_positions as in
-        ref_generate (None = caption-only dummy). Returns a request id
-        resolved by step()/run()."""
+        ref_generate (None = caption-only dummy). ``seed`` drives this
+        request's sampling stream when the server runs with
+        temperature > 0 (default: the request id — distinct streams
+        per request, reproducible across runs and scheduling). Returns
+        a request id resolved by step()/run()."""
         ids = np.asarray(input_ids, np.int32).reshape(1, self.P)
         mask = np.asarray(attn_mask, np.int32).reshape(1, self.P)
         pos = np.asarray(position_ids, np.int32).reshape(3, 1, self.P)
@@ -594,7 +650,8 @@ class GenServer:
         self._next_id += 1
         self._queue.append((rid, patches, ids, mask, pos,
                             int(visual_start), int(next_pos0),
-                            boxes_xyxy, ori_wh, object_positions))
+                            boxes_xyxy, ori_wh, object_positions,
+                            int(rid if seed is None else seed)))
         self._buf[rid] = []
         return rid
 
@@ -646,7 +703,7 @@ class GenServer:
             slots_n, free = free[:n], free[n:]
             if n == 1:
                 (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
-                 objp) = items[0]
+                 objp, seed) = items[0]
                 self._state = _admit(
                     self.cfg, self.gh, self.gw, self.dtype,
                     self.params, self.decode_params, self._state,
@@ -654,7 +711,8 @@ class GenServer:
                     jnp.asarray(patches), jnp.asarray(ids),
                     jnp.asarray(mask), vs, jnp.asarray(pos),
                     jnp.asarray(np0, jnp.int32), jnp.asarray(boxes),
-                    jnp.asarray(ori), jnp.asarray(objp))
+                    jnp.asarray(ori), jnp.asarray(objp),
+                    self.temperature, jnp.asarray(seed, jnp.int32))
                 self._live[slots_n[0]] = rid
             else:
                 vs = items[0][5]
@@ -688,7 +746,10 @@ class GenServer:
                     jnp.asarray(np.stack([np.asarray(it[8])
                                           for it in lanes])),
                     jnp.asarray(np.stack([np.asarray(it[9]).ravel()
-                                          for it in lanes])))
+                                          for it in lanes])),
+                    self.temperature,
+                    jnp.asarray(np.asarray([it[10] for it in lanes],
+                                           np.int32)))
                 for slot, it in zip(slots_n, items):
                     self._live[slot] = it[0]
                 self.stats["admit_batches"] = \
@@ -699,7 +760,7 @@ class GenServer:
         """Dispatch the embedding-assembly half of one admission
         (async); returns the _decode_chunk_pb pend args minus slot."""
         (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
-         objp) = item
+         objp, seed) = item
         emb, ds = _encode_prompt(
             self.cfg, self.gh, self.gw, self.dtype, self.params,
             jnp.asarray(patches),
@@ -713,7 +774,8 @@ class GenServer:
                             jnp.int32),
                 jnp.asarray(int(np.asarray(mask).sum()), jnp.int32),
                 jnp.asarray(np0, jnp.int32),
-                jnp.asarray(vs, jnp.int32))
+                jnp.asarray(vs, jnp.int32),
+                jnp.asarray(seed, jnp.int32))
 
     def _dispatch_chunk(self):
         """Dispatch one decode chunk (async); returns the device
@@ -731,15 +793,15 @@ class GenServer:
             # PERF.md "Piggyback prefill: measured")
             toks, self._state = _decode_chunk(
                 self.cfg, self.chunk, self.eos_id, self.pad_id,
-                self.dtype, dp, self._state)
+                self.dtype, dp, self._state, self.temperature)
             self.stats["chunks"] += 1
             return toks, dict(self._live)
-        slot_i, rid, (emb, ds, mask, pos, ln, np0, vs) = pend
+        slot_i, rid, (emb, ds, mask, pos, ln, np0, vs, seed) = pend
         slot = jnp.asarray(slot_i, jnp.int32)
         toks, self._state = _decode_chunk_pb(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
             self.dtype, dp, self._state, emb, ds, mask, pos, ln, np0,
-            slot, vs)
+            slot, vs, self.temperature, seed)
         snap = dict(self._live)
         if pend is not None:
             self._live[pend[0]] = pend[1]
