@@ -464,6 +464,56 @@ def test_server_sampling_scheduling_invariant():
     assert pb == ref, f"{pb} != {ref}"
 
 
+def test_sample_rows_topk_topp_support():
+    """models/serve._sample_rows warps: every sampled token must lie
+    in the numpy-computed allowed set — top_k keeps the k highest
+    logits, top_p keeps the smallest descending-probability prefix
+    with mass >= top_p (always >= 1 token), composed k-then-p — across
+    many (seed, index) draws; top_k=1 is exactly argmax."""
+    from wedetect_tpu.models.serve import _sample_rows
+    rng = np.random.default_rng(7)
+    logits = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32)
+                         * 3.0)
+    seeds = jnp.asarray(np.arange(4), jnp.int32)
+
+    def allowed(lg, top_k, top_p, temperature):
+        lg = lg.astype(np.float64) / temperature
+        keep = np.ones(lg.shape, bool)
+        if top_k > 0:
+            kth = np.sort(lg)[::-1][top_k - 1]
+            keep &= lg >= kth
+        if top_p < 1.0:
+            lg2 = np.where(keep, lg, -np.inf)
+            order = np.argsort(-lg2)
+            p = np.exp(lg2[order] - lg2[order].max())
+            p = p / p.sum()
+            cum_prev = np.cumsum(p) - p
+            n_keep = max(1, int((cum_prev < top_p).sum()))
+            keep &= lg2 >= lg2[order][n_keep - 1]
+        return set(np.nonzero(keep)[0].tolist())
+
+    for top_k, top_p in ((8, 1.0), (0, 0.6), (8, 0.6), (3, 0.9)):
+        sampling = (0.7, top_k, top_p)
+        ok = [allowed(np.asarray(logits)[r], top_k, top_p, 0.7)
+              for r in range(4)]
+        seen = [set() for _ in range(4)]
+        for i in range(40):
+            idx = jnp.full((4,), i, jnp.int32)
+            toks = np.asarray(_sample_rows(logits, sampling, seeds,
+                                           idx))
+            for r in range(4):
+                assert int(toks[r]) in ok[r], (top_k, top_p, r)
+                seen[r].add(int(toks[r]))
+        # the sampler must actually reach >1 allowed token when the
+        # set allows it (catches an accidental argmax collapse)
+        assert any(len(s) > 1 for s in seen), (top_k, top_p)
+
+    # top_k=1: argmax regardless of temperature/seed/index
+    toks = np.asarray(_sample_rows(logits, (1.3, 1, 1.0), seeds,
+                                   jnp.asarray([0, 5, 9, 2])))
+    assert (toks == np.asarray(jnp.argmax(logits, -1))).all()
+
+
 def test_server_sampling_greedy_zero_temperature_identical():
     """temperature=0.0 with seeds supplied must take the argmax path —
     identical to a server constructed without temperature."""

@@ -49,6 +49,10 @@ def parse_args(argv=None):
                    help="sampling temperature (0 = greedy); streams "
                         "are per-request reproducible via --seed + "
                         "request index, independent of scheduling")
+    p.add_argument("--top_k", type=int, default=0,
+                   help="keep only the k highest logits (0 = off)")
+    p.add_argument("--top_p", type=float, default=1.0,
+                   help="nucleus sampling mass (1.0 = off)")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -81,7 +85,8 @@ def main(argv=None):
         [(img, prompt) for img, (_, prompt) in zip(images, reqs)],
         max_new_tokens=args.max_new_tokens, eos_token_id=eos,
         slots=args.slots, chunk=args.chunk, piggyback=args.piggyback,
-        temperature=args.temperature, seed=args.seed)
+        temperature=args.temperature, top_k=args.top_k,
+        top_p=args.top_p, seed=args.seed)
     dt = time.perf_counter() - t0
 
     sink = open(args.out, "w") if args.out else sys.stdout

@@ -522,7 +522,8 @@ class RefScorer:
                        pad_token_id: int = 151643,
                        slots: int = 8, chunk: int = 16,
                        piggyback: bool = False,
-                       temperature: float = 0.0, seed: int = 0):
+                       temperature: float = 0.0, top_k: int = 0,
+                       top_p: float = 1.0, seed: int = 0):
         """Continuous-batching generation over many (image, prompt)
         requests through models/serve.GenServer — the production
         serving surface (the reference's stage-1/2 twin inherits HF
@@ -532,8 +533,9 @@ class RefScorer:
         grid_buckets exactly as in score()/generate_text()), each
         group's prompts padded to one shared length, and every group
         runs a slot pool with mid-run admission + pipelined chunked
-        decode. temperature > 0 samples with per-request reproducible
-        streams (request i uses seed + i; scheduling-invariant — see
+        decode. temperature > 0 samples (optionally top_k / top_p
+        warped) with per-request reproducible streams (request i uses
+        seed + i; scheduling-invariant — see
         models/serve._sample_rows). Returns decoded texts in input
         order."""
         import jax.numpy as jnp
@@ -562,7 +564,8 @@ class RefScorer:
                 eos_id=eos_token_id, pad_id=pad_token_id,
                 dtype=self._jnp_dtype(),
                 decode_params=self._decode_params,
-                piggyback=piggyback, temperature=temperature)
+                piggyback=piggyback, temperature=temperature,
+                top_k=top_k, top_p=top_p)
             rid_to_idx = {}
             for i in idxs:
                 patches, _, _, ids, mask, pos, _, w, h = prepped[i]

@@ -29,9 +29,10 @@ TPU design (everything static-shaped, two compiled programs total):
 Both programs donate the engine state, so the multi-GB KV cache is
 updated in place instead of being copied every chunk.
 
-Greedy by default; ``temperature > 0`` samples with PER-REQUEST
-reproducible streams: generated token i of a request with seed s is
-``categorical(fold_in(PRNGKey(s), i), logits / T)`` (see
+Greedy by default; ``temperature > 0`` samples (with optional top-k /
+top-p warps) with PER-REQUEST reproducible streams: generated token i
+of a request with seed s is
+``categorical(fold_in(PRNGKey(s), i), warp(logits) / T)`` (see
 ``_sample_rows``), so a request's tokens do not depend on the slot it
 landed in, the chunk size, the admission order, or what else shares
 the batch — unlike HF ``.generate``'s shared-generator sampling, a
@@ -89,24 +90,40 @@ from wedetect_tpu.ops.attention import gqa_attention
 #   seeds:       (B,)   int32 — per-request sampling seed (T > 0)
 
 
-def _sample_rows(logits, temperature: float, seeds, idx):
-    """Per-row temperature sampling with scheduling-invariant streams:
-    generated token ``idx[r]`` of the request with seed ``seeds[r]`` is
-    ``categorical(fold_in(PRNGKey(seed), idx), logits / T)`` — a pure
-    function of (seed, token index), so the stream does not depend on
-    the slot the request landed in, the chunk size, the admission
+def _sample_rows(logits, sampling, seeds, idx):
+    """Per-row sampling with scheduling-invariant streams: generated
+    token ``idx[r]`` of the request with seed ``seeds[r]`` is
+    ``categorical(fold_in(PRNGKey(seed), idx), warp(logits) / T)`` — a
+    pure function of (seed, token index), so the stream does not depend
+    on the slot the request landed in, the chunk size, the admission
     order, or what else shares the batch (pinned in tests/test_serve).
-    temperature == 0.0 is greedy argmax (seeds unused); the reference
-    twin inherits HF ``.generate``'s do_sample path
-    (/root/reference/wedetect_ref/models/qwen3vl_grounding.py:311-379),
-    which this replaces with a reproducible per-request scheme."""
+
+    ``sampling`` is the static (temperature, top_k, top_p) triple:
+    temperature == 0.0 is greedy argmax (seeds unused); top_k > 0
+    keeps the k highest logits; top_p < 1.0 keeps the smallest
+    descending-probability prefix with cumulative mass >= top_p
+    (always >= 1 token; logit ties at the cut are all kept). Warps
+    compose top_k-then-top_p, matching the HF LogitsProcessor order
+    the reference twin inherits via ``.generate``
+    (/root/reference/wedetect_ref/models/qwen3vl_grounding.py:311-379
+    never overrides it), but with per-request reproducible streams."""
+    temperature, top_k, top_p = sampling
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     def one(lg, s, i):
+        lg = lg.astype(jnp.float32) / temperature
+        if top_k > 0:
+            vals = jax.lax.top_k(lg, top_k)[0]
+            lg = jnp.where(lg < vals[-1], -jnp.inf, lg)
+        if top_p < 1.0:
+            srt = -jnp.sort(-lg)                     # descending
+            p = jax.nn.softmax(srt)
+            cum_prev = jnp.cumsum(p) - p             # mass above rank
+            n_keep = jnp.sum(cum_prev < top_p)       # >= 1
+            lg = jnp.where(lg < srt[n_keep - 1], -jnp.inf, lg)
         k = jax.random.fold_in(jax.random.PRNGKey(s), i)
-        return jax.random.categorical(
-            k, lg.astype(jnp.float32) / temperature, axis=-1)
+        return jax.random.categorical(k, lg, axis=-1)
 
     return jax.vmap(one)(logits, seeds, idx).astype(jnp.int32)
 
@@ -155,7 +172,7 @@ def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
 def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
            decode_params, state, slot, patches, input_ids, attn_mask,
            visual_start: int, position_ids, next_pos0, boxes_xyxy,
-           ori_wh, object_positions, temperature: float = 0.0,
+           ori_wh, object_positions, sampling=(0.0, 0, 1.0),
            seed=0):
     """Prefill ONE request and install it into slot ``slot``.
 
@@ -178,7 +195,7 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
                                           keepdims=False)
     dp = params if decode_params is None else decode_params
     seed = jnp.asarray(seed, jnp.int32)
-    tok0 = _sample_rows(_lm_logits(dp, h_last[None]), temperature,
+    tok0 = _sample_rows(_lm_logits(dp, h_last[None]), sampling,
                         seed[None], jnp.zeros((1,), jnp.int32))[0]
 
     new_caches = []
@@ -205,7 +222,7 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
                 decode_params, state, slots, patches, input_ids,
                 attn_mask, visual_start: int, position_ids, next_pos0,
                 boxes_xyxy, ori_wh, object_positions,
-                temperature: float = 0.0, lane_seeds=None):
+                sampling=(0.0, 0, 1.0), lane_seeds=None):
     """Prefill N requests in ONE vmapped forward and install them into
     ``slots`` (N,). Batched admission: slot completions cluster in
     waves (all slots admitted together finish within a chunk or two of
@@ -242,7 +259,7 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     h_last = jnp.take_along_axis(hidden, last[:, None, None],
                                  axis=1)[:, 0]
     dp = params if decode_params is None else decode_params
-    tok0 = _sample_rows(_lm_logits(dp, h_last), temperature,
+    tok0 = _sample_rows(_lm_logits(dp, h_last), sampling,
                         lane_seeds,
                         jnp.zeros(lane_seeds.shape, jnp.int32))
 
@@ -269,7 +286,7 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7),
                    donate_argnums=(6,))
 def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
-                  dtype, params, state, temperature: float = 0.0):
+                  dtype, params, state, sampling=(0.0, 0, 1.0)):
     """T lockstep single-token steps across all slots; returns
     ((B, T) emitted tokens, new state). Emission order matches
     ref_generate: each step emits the carried token (pad for done /
@@ -305,7 +322,7 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
         h = _rms(x, tp["norm"]["scale"], c.rms_eps)[:, 0]
         # generated-token index of nxt is gen_count + 1 (cur_tok was
         # index gen_count) — see _sample_rows for the seeding scheme
-        nxt = _sample_rows(_lm_logits(params, h), temperature, seeds,
+        nxt = _sample_rows(_lm_logits(params, h), sampling, seeds,
                            gen_count + 1)
         nxt = jnp.where(done, cur_tok, nxt)
         gen_count = gen_count + 1
@@ -432,7 +449,7 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                      dtype, params, state, pend_emb, pend_ds,
                      pend_mask, pend_pos, pend_len, pend_np0,
                      pend_slot, visual_start,
-                     temperature: float = 0.0, pend_seed=0):
+                     sampling=(0.0, 0, 1.0), pend_seed=0):
     """_decode_chunk with ONE piggybacked admission: each of the T
     scan steps also processes F = ceil(P/T) rows of the pending
     prompt, so the whole prompt's decoder prefill completes within the
@@ -509,7 +526,7 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                 x = x.at[b:, 0, :].add(add)
             new_caches.append((kc, vc))
         h = _rms(x[:b], tp["norm"]["scale"], c.rms_eps)[:, 0]
-        nxt = _sample_rows(_lm_logits(params, h), temperature, seeds,
+        nxt = _sample_rows(_lm_logits(params, h), sampling, seeds,
                            gen_count + 1)
         nxt = jnp.where(done, cur_tok, nxt)
         # capture the prompt's last-real-token hidden when this
@@ -531,7 +548,7 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
             jnp.arange(chunk, dtype=jnp.int32))
     # activate the admitted slot (all scatters drop on the OOB
     # sentinel): first token parked, emitted by the next chunk
-    tok0 = _sample_rows(_lm_logits(params, h_pend[None]), temperature,
+    tok0 = _sample_rows(_lm_logits(params, h_pend[None]), sampling,
                         pend_seed[None],
                         jnp.zeros((1,), jnp.int32))[0]
     gen_count = gen_count.at[pend_slot].set(0)
@@ -585,11 +602,14 @@ class GenServer:
                  chunk: int = 16, eos_id: int, pad_id: int = 0,
                  dtype=jnp.float32, decode_params=None,
                  batch_admit: bool = False, piggyback: bool = False,
-                 temperature: float = 0.0):
+                 temperature: float = 0.0, top_k: int = 0,
+                 top_p: float = 1.0):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
         self.batch_admit = batch_admit
         self.piggyback = piggyback
-        self.temperature = float(temperature)
+        # static sampling triple shared by every compiled program
+        # (see _sample_rows); top_k/top_p only apply when T > 0
+        self.sampling = (float(temperature), int(top_k), float(top_p))
         self.cfg, self.gh, self.gw = cfg, grid_h, grid_w
         self.params = params
         self.decode_params = decode_params
@@ -712,7 +732,7 @@ class GenServer:
                     jnp.asarray(mask), vs, jnp.asarray(pos),
                     jnp.asarray(np0, jnp.int32), jnp.asarray(boxes),
                     jnp.asarray(ori), jnp.asarray(objp),
-                    self.temperature, jnp.asarray(seed, jnp.int32))
+                    self.sampling, jnp.asarray(seed, jnp.int32))
                 self._live[slots_n[0]] = rid
             else:
                 vs = items[0][5]
@@ -747,7 +767,7 @@ class GenServer:
                                           for it in lanes])),
                     jnp.asarray(np.stack([np.asarray(it[9]).ravel()
                                           for it in lanes])),
-                    self.temperature,
+                    self.sampling,
                     jnp.asarray(np.asarray([it[10] for it in lanes],
                                            np.int32)))
                 for slot, it in zip(slots_n, items):
@@ -793,7 +813,7 @@ class GenServer:
             # PERF.md "Piggyback prefill: measured")
             toks, self._state = _decode_chunk(
                 self.cfg, self.chunk, self.eos_id, self.pad_id,
-                self.dtype, dp, self._state, self.temperature)
+                self.dtype, dp, self._state, self.sampling)
             self.stats["chunks"] += 1
             return toks, dict(self._live)
         slot_i, rid, (emb, ds, mask, pos, ln, np0, vs, seed) = pend
@@ -801,7 +821,7 @@ class GenServer:
         toks, self._state = _decode_chunk_pb(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
             self.dtype, dp, self._state, emb, ds, mask, pos, ln, np0,
-            slot, vs, self.temperature, seed)
+            slot, vs, self.sampling, seed)
         snap = dict(self._live)
         if pend is not None:
             self._live[pend[0]] = pend[1]
