@@ -102,5 +102,65 @@ def test_ref_tp_generate_matches_replicated(rng):
                                       eos_id=95))
     np.testing.assert_array_equal(got, want)
 
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_ref_tp_serve_matches_replicated(rng):
+    """Tensor-parallel continuous-batching serving: a GenServer whose
+    params are Megatron-sharded and whose KV pool is pinned sharded
+    over the kv-head axis (mesh= kwarg) must emit, per request,
+    exactly the replicated server's tokens — greedy AND warped
+    sampling (categorical over the vocab-sharded lm head)."""
+    from wedetect_tpu.models.serve import GenServer
+    from wedetect_tpu.nn.qwen3vl import get_rope_index_single_image
+
+    cfg = _tp_cfg()
+    gh, gw = 8, 8
+    n_img = (gh // 2) * (gw // 2)
+    P = 48
+    patches0 = rng.standard_normal((gh * gw, 96)).astype(np.float32)
+
+    def build(tail):
+        ids = np.concatenate([
+            np.array([1, cfg.vision_start_token_id]),
+            np.full(n_img, cfg.image_token_id),
+            rng.integers(2, 100, tail)]).astype(np.int32)
+        pos = get_rope_index_single_image(ids, cfg.image_token_id,
+                                          gh, gw, 2)
+        p_ids = np.zeros(P, np.int32)
+        p_ids[:len(ids)] = ids
+        p_mask = np.zeros(P, np.int32)
+        p_mask[:len(ids)] = 1
+        p_pos = np.zeros((3, P), np.int32)
+        p_pos[:, :len(ids)] = pos
+        return p_ids, p_mask, p_pos, int(pos.max()) + 1
+
+    ids0, mask0, pos0, _ = build(5)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(1), jnp.asarray(patches0),
+        jnp.asarray(ids0[None]), jnp.asarray(mask0[None]),
+        jnp.asarray(pos0[:, None]),
+        jnp.asarray(np.array([[0, 0, 64, 64]], np.float32)),
+        jnp.asarray(np.array([64.0, 64.0], np.float32)), 1,
+        jnp.zeros((1, 1), jnp.int32))["params"]
+    reqs = [(rng.standard_normal((gh * gw, 96)).astype(np.float32),)
+            + build(3 + r) for r in range(4)]
+
+    mesh = make_tp_mesh(data=1, tp=4, devices=jax.devices()[:4])
+    sharded = jax.device_put(params, ref_tp_sharding(mesh, params))
+
+    def run(p, kw):
+        srv = GenServer(cfg, gh, gw, p, slots=2, prompt_len=P,
+                        max_new=5, chunk=2, eos_id=99, pad_id=0, **kw)
+        m = {}
+        for r, (pt, ids, mask, pos, np0) in enumerate(reqs):
+            m[srv.submit(pt, ids, mask, pos, 1, np0, seed=40 + r)] = r
+        return {m[rid]: list(t) for rid, t in srv.run().items()}
+
+    for kw in ({}, dict(temperature=0.8, top_k=30, top_p=0.9)):
+        want = run(params, kw)
+        got = run(sharded, dict(mesh=mesh, **kw))
+        assert got == want, (kw, got, want)
+
 # heavy golden/e2e file: excluded from the fast tier (pytest.ini)
 pytestmark = pytest.mark.slow

@@ -603,7 +603,7 @@ class GenServer:
                  dtype=jnp.float32, decode_params=None,
                  batch_admit: bool = False, piggyback: bool = False,
                  temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, mesh=None, tp_axis: str = "tp"):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
         self.batch_admit = batch_admit
         self.piggyback = piggyback
@@ -619,10 +619,25 @@ class GenServer:
         self.dtype = dtype
         c = cfg.text
         cap = prompt_len + max_new
-        caches = tuple(
-            (jnp.zeros((slots, cap, c.kv_heads, c.head_dim), dtype),
-             jnp.zeros((slots, cap, c.kv_heads, c.head_dim), dtype))
-            for _ in range(c.layers))
+        kv_shape = (slots, cap, c.kv_heads, c.head_dim)
+        if mesh is not None:
+            # tensor-parallel serving (params Megatron-sharded via
+            # parallel/mesh.ref_tp_sharding): pin the KV pool sharded
+            # over the kv-head axis so the donated state keeps one
+            # stable layout instead of whatever propagation picks —
+            # each decode step then reads/writes only the local heads.
+            # Data-parallel serving is one GenServer per data replica.
+            from jax.sharding import (NamedSharding,
+                                      PartitionSpec as Pspec)
+            n_tp = mesh.shape[tp_axis]
+            kv_spec = (Pspec(None, None, tp_axis, None)
+                       if c.kv_heads % n_tp == 0 else Pspec())
+            zeros = functools.partial(
+                jnp.zeros, device=NamedSharding(mesh, kv_spec))
+        else:
+            zeros = jnp.zeros
+        caches = tuple((zeros(kv_shape, dtype), zeros(kv_shape, dtype))
+                       for _ in range(c.layers))
         self._state = (
             caches,
             jnp.zeros((slots, prompt_len), jnp.int32),
