@@ -426,11 +426,12 @@ def bench_ref(seq_len=2048, queries=8, proposals=100, iters=5,
 
 
 def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
-              P=384, new=(16, 80)):
+              P=384, new=(16, 80), int4=False):
     """Text generation tok/s: 2B, bf16 weights, jitted prefill +
     KV-cache decode (P=384 bucket, 40x30-grid image prompt). Decode is
     HBM-bound, so int8=True (weight-only int8 decode tree,
-    models/quant) measures the bandwidth win directly. tok/s is the
+    models/quant) / int4=True (packed-int4, rank-1 two-sided scales)
+    measures the bandwidth win directly. tok/s is the
     marginal decode rate ((t_new[1] - t_new[0]) per extra step —
     prefill excluded). The reference has no generation benchmark (its
     twin inherits HF .generate). cfg/gh/gw/P are overridable so the
@@ -445,9 +446,9 @@ def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
     params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
                                 seq_len=P)
     dp = None
-    if int8:
+    if int8 or int4:
         from wedetect_tpu.models.quant import quantize_decode_params
-        dp = quantize_decode_params(params)
+        dp = quantize_decode_params(params, bits=4 if int4 else 8)
     patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, b, P)
     args = (jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(pos), vs,
             jnp.asarray(np.full((b,), real, np.int32)),
@@ -477,7 +478,8 @@ def bench_gen(b=8, int8=False, trials=3, cfg=None, gh=40, gw=30,
 
     step = (timeit(new[1]) - timeit(new[0])) / (new[1] - new[0])
     tps = b / step
-    print(f"# gen2b{'_int8' if int8 else ''} b={b}: "
+    tag = "_int4" if int4 else ("_int8" if int8 else "")
+    print(f"# gen2b{tag} b={b}: "
           f"{step * 1e3:.2f} ms/step, {tps:.1f} tok/s", file=sys.stderr)
     del params, dp
     gc.collect()
@@ -579,7 +581,8 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 
 def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                 P=384, chunks=(16, 32), int8_prefill=False,
-                int8_decode=False, piggyback=False, batch_admit=False):
+                int8_decode=False, int4_decode=False,
+                piggyback=False, batch_admit=False):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
@@ -601,9 +604,10 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
     params = _ref_random_params(cfg, gh, gw, proposals=1, queries=1,
                                 seq_len=P)
     decode_params = None
-    if int8_decode:
+    if int8_decode or int4_decode:
         from wedetect_tpu.models.quant import quantize_decode_params
-        decode_params = quantize_decode_params(params)
+        decode_params = quantize_decode_params(
+            params, bits=4 if int4_decode else 8)
     if int8_prefill:
         cfg = dataclasses.replace(cfg, quant_int8=True)
     patches, ids, mask, pos, vs, real = _gen_prompt(cfg, gh, gw, 1, P)
@@ -823,6 +827,9 @@ def main():
     def row_gen_int8():
         sub["gen2b_int8_tok_per_s"] = round(bench_gen(b=8, int8=True), 1)
 
+    def row_gen_int4():
+        sub["gen2b_int4_tok_per_s"] = round(bench_gen(b=8, int4=True), 1)
+
     def row_rec():
         # the reference's actual FPS protocol: 1 query per image
         v = bench_rec()
@@ -849,6 +856,7 @@ def main():
         ("serve", 330, row_serve),
         ("ref2b_int8", 260, row_ref2b_int8),
         ("gen_int8", 260, row_gen_int8),
+        ("gen_int4", 260, row_gen_int4),
         ("train", 240, row_train),
         ("rec", 220, row_rec),
         ("e2e", 160, row_e2e),

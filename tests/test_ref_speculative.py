@@ -5,6 +5,7 @@ speculation may only change how many verify forwards run, never the
 emitted tokens. No reference counterpart (the reference inherits HF
 .generate with no assisted decoding)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -117,13 +118,15 @@ def test_spec_eos_and_padding():
     np.testing.assert_array_equal(np.asarray(toks), plain)
 
 
-def test_spec_composes_with_int8_decode():
-    """speculation x int8: decode_params threads through the verify
-    block (matmul_any) and tokens equal the int8 plain decode."""
+@pytest.mark.parametrize("bits", [8, 4])
+def test_spec_composes_with_quantized_decode(bits):
+    """speculation x int8/int4: decode_params threads through the
+    verify block (matmul_any / prepare_decode_params) and tokens
+    equal the quantized plain decode."""
     from wedetect_tpu.models.quant import quantize_decode_params
 
     args = _setup(5, tails=(4, 6), max_new=10)
-    q = quantize_decode_params(args[3])
+    q = quantize_decode_params(args[3], bits=bits)
     plain = np.asarray(ref_generate(*args, eos_id=95, pad_id=0,
                                     decode_params=q))
     toks, _ = ref_generate_spec(*args, eos_id=95, pad_id=0,
@@ -157,7 +160,6 @@ def test_spec_force_reject_exact_and_one_per_step():
     longest = max(int((row != 0).sum()) for row in plain)
     assert int(steps) == max(longest, 1)
 
-import pytest  # noqa: E402
 
 # heavy golden/e2e file: excluded from the fast tier (pytest.ini)
 pytestmark = pytest.mark.slow

@@ -20,7 +20,8 @@ def _run_generate(args, img):
 
     cfg, params, tok = load_ref(args.ref_checkpoint)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
-                       quantize_decode=args.int8_decode,
+                       quantize_decode="int4" if args.int4_decode
+                       else args.int8_decode,
                        quant_prefill=args.int8_prefill)
     text = scorer.generate_text(
         img, args.generate, max_new_tokens=args.max_new_tokens,
@@ -55,6 +56,10 @@ def parse_args(argv=None):
     p.add_argument("--int8-decode", action="store_true",
                    help="weight-only int8 generation decode "
                         "(models/quant)")
+    p.add_argument("--int4-decode", action="store_true",
+                   help="weight-only packed-int4 generation decode "
+                        "(models/quant; lossier — validate per "
+                        "checkpoint)")
     p.add_argument("--speculative", action="store_true",
                    help="prompt-lookup speculative decoding (greedy "
                         "only; models/ref_speculative)")

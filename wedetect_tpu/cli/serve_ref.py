@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--int8-decode", action="store_true",
                    help="weight-only int8 decode (models/quant)")
+    p.add_argument("--int4-decode", action="store_true",
+                   help="weight-only packed-int4 decode (models/"
+                        "quant; lossier — validate per checkpoint)")
     p.add_argument("--piggyback", action="store_true",
                    help="ride admission prefills on the decode chunks"
                         " (models/serve chunked prefill)")
@@ -67,7 +70,8 @@ def main(argv=None):
     cfg, params, tok = load_ref(args.ref_checkpoint)
     scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
                        dtype="bfloat16" if args.bf16 else "float32",
-                       quantize_decode=args.int8_decode)
+                       quantize_decode="int4" if args.int4_decode
+                       else args.int8_decode)
     reqs = []
     with open(args.requests) as f:
         for line in f:

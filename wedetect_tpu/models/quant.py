@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization for the generation decode path.
+"""Weight-only int8 / int4 quantization for the generation decode path.
 
 The KV-cache decode step (models/ref_generate) is HBM-bandwidth-bound:
 every generated token streams the full decoder weight set from HBM
@@ -8,6 +8,52 @@ kernels are stored as int8 with a per-output-channel f32 scale, and the
 matmul reads int8 from HBM, upcasting inside the fused dot
 (``(y @ w8.astype(dt)) * scale`` — XLA fuses the convert into the dot
 operand read, so HBM traffic is the int8 bytes).
+
+Weight-only int4 halves it a THIRD time. XLA:TPU stores ``s4`` arrays
+nibble-packed in HBM and fuses the s4->bf16 upcast into the dot operand
+read (measured: tools/int4_probe.json — the 2048x151936 LM-head dot
+streams at 0.75 ms vs int8's 0.95 and bf16's 1.40). Two platform-driven
+design choices:
+
+- **Rank-1 two-sided scales, not groups.** Group-wise scales (the GPU
+  int4 recipe) vary along the contraction axis, so they cannot ride the
+  output epilogue — XLA would materialize a dequantized copy (or a
+  per-group partial-sum tensor), spending the very HBM bytes int4
+  saves. Instead ``w ~= diag(rscale) @ q @ diag(scale)``: the row scale
+  multiplies the ACTIVATION (elementwise on (B, H) — free), the column
+  scale the OUTPUT, and the dot streams pure s4. The scales come from a
+  few Sinkhorn-style absmax alternations with a final column pass that
+  guarantees codes fit in [-7, 7] with no clipping.
+- **Packed-int8 storage, in-jit unpack.** s4 arrays cannot cross a jit
+  boundary on this platform (relayout device_put of s4 RecursionErrors
+  — NOTES.md round 4), so quantized int4 leaves store two codes per
+  int8 byte ({"w4p"}) and the consumer unpacks to s4 INSIDE its jit:
+  either inline per matmul (one-shot uses: LM head at admission), or
+  once per call via ``prepare_decode_params`` before a decode
+  ``lax.scan`` — the unpacked s4 tree is materialized behind an
+  ``optimization_barrier`` and carried as a scan constant, so every
+  decode step streams s4 bytes while only the int8-packed tree (same
+  byte count) ever crosses the dispatch boundary.
+
+int4 is lossier than int8 (4-bit codes; the rank-1 scaling recovers
+row/column dynamic range but not per-group structure). Mechanics are
+pinned exactly (pow2-scale bitwise test, packing round-trip over all
+16 nibbles); accuracy on a real checkpoint must be validated per
+deployment — this module pins logit cosine on random weights only.
+
+Cross-program determinism caveat (int4): ref_generate's scan and
+GenServer's chunked decode compute step-identical math (their layer
+twins agree BITWISE in eager mode — measured round 4), but they are
+different jitted programs and XLA may reassociate their reductions
+differently, so logits can differ at ULP level between the two. int4's
+coarse codes make exact/near logit ties common, so a greedy argmax can
+flip at such a tie and the serving engine's tokens may diverge from
+the static path's on some prompts (observed once at tiny scale; both
+outputs are equally valid argmaxes of the quantized model). Within ONE
+program the schedule invariants hold exactly: chunk size, admission
+order, and slot assignment never change GenServer's tokens, and
+tests/test_serve.py pins server==ref_generate token-exactness for
+int8/bf16 and at the int4 test's pinned seed.
 
 Scope is deliberately decode-only: prefill is compute-bound and runs
 once per prompt, so it keeps full-precision params; the quantized tree
@@ -50,23 +96,99 @@ def quantize_weight(w, axis=0):
     return {"w8": w8, "scale": jnp.squeeze(scale, axis=axis)}
 
 
+def quantize_weight4(w, axis=0, iters=2):
+    """Rank-1 two-sided symmetric int4: returns
+    ``{w4p, rscale, scale}`` with
+    ``diag(rscale) @ unpack(w4p) @ diag(scale) ~= w``.
+
+    ``rscale`` (H,) multiplies the activation, ``scale`` (O,) the dot
+    output, so the matmul streams pure s4 (module docstring). Scales
+    are fit by alternating row/column absmax normalization (Sinkhorn
+    style); the final column pass makes every column's absmax map to
+    exactly +/-7, so codes never clip. ``w4p`` packs contraction-axis
+    row pairs (2i -> low nibble, 2i+1 -> high) into one int8."""
+    assert axis == 0, "contraction axis must be 0"
+    wf = jnp.asarray(w).astype(jnp.float32)
+    h, o = wf.shape
+    assert h % 2 == 0, "contraction dim must be even to nibble-pack"
+    wa = jnp.maximum(jnp.abs(wf), 1e-12)
+    r = jnp.ones((h,), jnp.float32)
+    for _ in range(iters):
+        c = jnp.max(wa / r[:, None], axis=0)
+        r = jnp.max(wa / c[None, :], axis=1)
+    c = jnp.max(wa / r[:, None], axis=0)          # colmax == 1 exactly
+    q = jnp.clip(jnp.round(wf / (r[:, None] * c[None, :]) * 7.0),
+                 -7, 7).astype(jnp.int8)
+    return {"w4p": pack_int4(q), "rscale": r, "scale": c / 7.0}
+
+
+def pack_int4(q):
+    """(H, O) int8 codes in [-8, 7] -> (H/2, O) int8, row 2i in the
+    low nibble and row 2i+1 in the high nibble of byte i."""
+    qq = jax.lax.bitcast_convert_type(jnp.asarray(q), jnp.uint8)
+    qq = qq.reshape(q.shape[0] // 2, 2, q.shape[1])
+    packed = (qq[:, 0] & 0x0F) | ((qq[:, 1] & 0x0F) << 4)
+    return jax.lax.bitcast_convert_type(packed, jnp.int8)
+
+
+def unpack_int4(w4p):
+    """Inverse of pack_int4, producing an s4 array — XLA ops only, so
+    it runs inside the consuming jit (s4 cannot cross jit boundaries
+    on this platform; module docstring)."""
+    lo = jnp.right_shift(jnp.left_shift(w4p, 4), 4)  # sign-extended
+    hi = jnp.right_shift(w4p, 4)                     # arithmetic
+    h2, o = w4p.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * h2, o)
+    return q.astype(jnp.int4)
+
+
 def matmul_any(y, leaf, dt):
     """y @ kernel for a full-precision ({kernel}) or quantized
-    ({w8, scale}) leaf, in compute dtype ``dt``. For quantized leaves
-    the dot reads int8 from HBM (the convert fuses into the dot) and
-    the per-output-channel scale multiplies the dot result — exactly
-    y @ (w8 * scale) since scale is constant along the contraction."""
+    ({w8, scale} int8 / {w4p, rscale, scale} packed-int4 /
+    {w4, rscale, scale} pre-unpacked s4) leaf, in compute dtype ``dt``.
+    For quantized leaves the dot reads int8/s4 from HBM (the convert
+    fuses into the dot) and the per-output-channel scale multiplies
+    the dot result; int4 additionally multiplies the activation by the
+    per-contraction-row scale — exactly
+    ``(y * rscale) @ q * scale == y @ (diag(r) q diag(s))`` since each
+    scale is constant along the axis it rides."""
     if "w8" in leaf:
         return (y @ leaf["w8"].astype(dt)) * leaf["scale"].astype(dt)
+    if "w4" in leaf or "w4p" in leaf:
+        q4 = leaf["w4"] if "w4" in leaf else unpack_int4(leaf["w4p"])
+        return ((y * leaf["rscale"].astype(dt)) @ q4.astype(dt)) \
+            * leaf["scale"].astype(dt)
     return y @ leaf["kernel"].astype(dt)
 
 
-def quantize_decode_params(params):
+def prepare_decode_params(dp):
+    """Unpack every packed-int4 leaf of a decode-param tree to s4,
+    materialized behind an optimization_barrier — call INSIDE a jit,
+    before its decode ``lax.scan``, so each scan step streams s4 bytes
+    and the unpack runs once per dispatch (module docstring). Trees
+    with no int4 leaves pass through unchanged (f32/bf16/int8)."""
+    def walk(node):
+        if isinstance(node, dict):
+            if "w4p" in node:
+                return {"w4": jax.lax.optimization_barrier(
+                            unpack_int4(node["w4p"])),
+                        "rscale": node["rscale"],
+                        "scale": node["scale"]}
+            return {k: walk(v) for k, v in node.items()}
+        return node
+    return walk(dp)
+
+
+def quantize_decode_params(params, bits: int = 8):
     """Build the decode-param tree for ref_generate(decode_params=...).
 
     Quantizes the seven matmul kernels of every text layer plus the LM
-    head; copies norms/embedding through unchanged. ~4x smaller than
-    f32 (2x vs bf16) for the matmul weights, which dominate."""
+    head — to int8 (per-output-channel scales) or int4 (``bits=4``:
+    nibble-packed codes + rank-1 two-sided scales, module docstring) —
+    and copies norms/embedding through unchanged. Matmul weights
+    shrink ~4x vs f32 at int8 and ~8x at int4."""
+    assert bits in (8, 4), bits
+    qw = quantize_weight if bits == 8 else quantize_weight4
     text = params["text"]
     qtext = {}
     for name, layer in text.items():
@@ -76,19 +198,18 @@ def quantize_decode_params(params):
         ql = {}
         for k, leaf in layer.items():
             if k in _LAYER_MATMULS:
-                ql[k] = quantize_weight(leaf["kernel"], axis=0)
+                ql[k] = qw(leaf["kernel"], axis=0)
             else:
                 ql[k] = leaf             # input_ln/post_ln/q_norm/k_norm
         qtext[name] = ql
     out = {"text": qtext, "embed": params["embed"]}
     if "lm_head" in params:
-        out["lm_head"] = quantize_weight(params["lm_head"]["kernel"],
-                                         axis=0)
+        out["lm_head"] = qw(params["lm_head"]["kernel"], axis=0)
     else:
         # tied head: quantize the transposed embedding (per-vocab-row
         # scale); the un-transposed table stays for the token lookup
         emb = params["embed"]["embed_tokens"]["embedding"]
-        out["lm_head"] = quantize_weight(jnp.asarray(emb).T, axis=0)
+        out["lm_head"] = qw(jnp.asarray(emb).T, axis=0)
     return out
 
 
@@ -101,6 +222,10 @@ def dequantize_decode_params(qparams):
             if "w8" in node:
                 return {"kernel": node["w8"].astype(jnp.float32)
                         * node["scale"].astype(jnp.float32)}
+            if "w4p" in node:
+                q = unpack_int4(node["w4p"]).astype(jnp.float32)
+                return {"kernel": node["rscale"][:, None] * q
+                        * node["scale"][None, :]}
             return {k: walk(v) for k, v in node.items()}
         return node
     return walk(qparams)

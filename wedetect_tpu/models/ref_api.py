@@ -65,11 +65,14 @@ class RefScorer:
     # enough to hide transport round trips, bounded so long runs don't
     # queue unbounded device input buffers
     dispatch_window: int = 4
-    # weight-only int8 for the generation decode step (models/quant):
-    # the HBM-bound per-token decode reads int8 kernels (+f32 scales)
-    # instead of full-precision, ~4x (f32) / 2x (bf16) less weight
-    # traffic per generated token; prefill/scoring stay full precision
-    quantize_decode: bool = False
+    # weight-only quantization for the generation decode step
+    # (models/quant): the HBM-bound per-token decode reads int8
+    # (True or "int8": per-channel scales) or packed int4 ("int4":
+    # rank-1 two-sided scales — lossier; validate per checkpoint)
+    # kernels instead of full-precision, cutting weight traffic per
+    # generated token 2x/4x vs bf16; prefill/scoring stay full
+    # precision
+    quantize_decode: object = False
     # dynamic int8 for the compute-bound PREFILL/scoring matmuls
     # (decoder + ViT; ops/int8.py via RefCfg.quant_int8) — independent
     # of quantize_decode and composable with it
@@ -545,7 +548,9 @@ class RefScorer:
         tok = self.tokenizer
         if self.quantize_decode and self._decode_params is None:
             from wedetect_tpu.models.quant import quantize_decode_params
-            self._decode_params = quantize_decode_params(self.params)
+            bits = 4 if self.quantize_decode == "int4" else 8
+            self._decode_params = quantize_decode_params(self.params,
+                                                         bits=bits)
         prepped = []
         groups = {}
         for i, (image, prompt) in enumerate(requests):
@@ -623,7 +628,9 @@ class RefScorer:
             self._build_gen_prompt(image, prompt, pad_token_id)
         if self.quantize_decode and self._decode_params is None:
             from wedetect_tpu.models.quant import quantize_decode_params
-            self._decode_params = quantize_decode_params(self.params)
+            bits = 4 if self.quantize_decode == "int4" else 8
+            self._decode_params = quantize_decode_params(self.params,
+                                                         bits=bits)
         gen_args = (
             c, gh, gw, self.params, jnp.asarray(patches),
             jnp.asarray(ids[None].astype(np.int32)),

@@ -187,6 +187,9 @@ def _decode_from_prefill(c, params, hidden, kvs, attn_mask, next_pos,
     """Shared decode: sample the first token at each row's last real
     prompt position, then lax.scan single-token steps over the
     preallocated KV cache."""
+    from wedetect_tpu.models.quant import prepare_decode_params
+
+    params = prepare_decode_params(params)   # int4: unpack to s4 once
     b, p_len = attn_mask.shape
     last = jnp.sum(attn_mask, axis=1).astype(jnp.int32) - 1   # (B,)
     h_last = jnp.take_along_axis(

@@ -35,7 +35,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from wedetect_tpu.models.quant import matmul_any
+from wedetect_tpu.models.quant import matmul_any, prepare_decode_params
 from wedetect_tpu.models.ref_generate import (_lm_logits,
                                               _prefill_hidden_kvs, _rms)
 from wedetect_tpu.nn.qwen3vl import (RefCfg, _apply_rope,
@@ -192,6 +192,7 @@ def _spec_decode(c, params, hidden, kvs, input_ids, attn_mask,
              jnp.zeros((b, cap) + v.shape[2:], v.dtype)], axis=1)
         caches.append((kc, vc))
 
+    params = prepare_decode_params(params)   # int4: unpack to s4 once
     tp = params["text"]
     emb = params["embed"]["embed_tokens"]["embedding"]
     out0 = jnp.full((b, max_new), pad_id, jnp.int32)

@@ -73,7 +73,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from wedetect_tpu.models.quant import matmul_any
+from wedetect_tpu.models.quant import matmul_any, prepare_decode_params
 from wedetect_tpu.models.ref_generate import (_lm_logits,
                                               _prefill_hidden_kvs, _rms)
 from wedetect_tpu.nn.qwen3vl import (RefCfg, _apply_rope,
@@ -296,6 +296,7 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     c = cfg.text
     b, p_len = prompt_mask.shape
     g_cap = caches[0][0].shape[1] - p_len
+    params = prepare_decode_params(params)   # int4: unpack to s4 once
     tp = params["text"]
     emb = params["embed"]["embed_tokens"]["embedding"]
     gen_cols = jnp.arange(g_cap, dtype=jnp.int32)
@@ -472,6 +473,7 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     g_cap = caches[0][0].shape[1] - p_len
     f = -(-p_len // chunk)
     l_pad = f * chunk
+    params = prepare_decode_params(params)   # int4: unpack to s4 once
     tp = params["text"]
     emb = params["embed"]["embed_tokens"]["embedding"]
     gen_cols = jnp.arange(g_cap, dtype=jnp.int32)
