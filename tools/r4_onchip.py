@@ -132,6 +132,23 @@ def main():
         out["serve_ab_i8p"] = bench.bench_serve(chunks=(8,),
                                                 int8_prefill=True)
         _save(out)
+    if "int4" in which:
+        # same-session precision ladder for the HBM-bound decode:
+        # bf16 vs int8 vs int4 marginal tok/s (b=8 and b=1), plus the
+        # int4 serving row against its own marginal
+        out["i4_gen_bf16_b8"] = round(bench.bench_gen(b=8), 1)
+        _save(out)
+        out["i4_gen_int8_b8"] = round(bench.bench_gen(b=8, int8=True), 1)
+        _save(out)
+        out["i4_gen_int4_b8"] = round(bench.bench_gen(b=8, int4=True), 1)
+        _save(out)
+        out["i4_gen_bf16_b1"] = round(bench.bench_gen(b=1), 1)
+        _save(out)
+        out["i4_gen_int4_b1"] = round(bench.bench_gen(b=1, int4=True), 1)
+        _save(out)
+        out["i4_serve_int4_c8"] = bench.bench_serve(
+            chunks=(8,), int4_decode=True)
+        _save(out)
     if "pb" in which:
         # piggyback chunked prefill vs classic admission, same
         # session: the pb decode chunk carries F=ceil(384/chunk)

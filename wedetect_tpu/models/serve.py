@@ -886,6 +886,30 @@ class GenServer:
         self._admit_queued()
         return self._collect(*self._dispatch_chunk())
 
+    @property
+    def busy(self) -> bool:
+        """True while any request is queued or decoding."""
+        return bool(self._queue or self._live)
+
+    def pump(self, pending=None):
+        """One pipelined scheduler turn for long-lived serving loops
+        (e.g. the HTTP front-end, models/serve_http): admit queued
+        requests and dispatch one decode chunk (async) if any work is
+        live, then collect the PREVIOUS turn's tokens. Returns
+        (next_pending, finished): pass next_pending back on the next
+        call; finished maps rid -> np.int32 tokens completed this
+        turn. run(pipeline=True) is exactly this loop driven to
+        drain; external callers interleave submit() between turns.
+        The final turn (busy False, pending not None) only collects."""
+        nxt = None
+        if self._queue or self._live:
+            self._admit_queued()
+            nxt = self._dispatch_chunk()
+        finished = {}
+        if pending is not None:
+            finished = self._collect(*pending)
+        return nxt, finished
+
     def run(self, pipeline: bool = True):
         """Drive decoding until every queued/live request finishes.
         Returns {rid: np.int32 tokens (eos/pad excluded)}.
@@ -907,12 +931,6 @@ class GenServer:
         else:
             pending = None
             while self._queue or self._live or pending is not None:
-                nxt = None
-                if self._queue or self._live:
-                    self._admit_queued()
-                    nxt = self._dispatch_chunk()
-                if pending is not None:
-                    self._collect(*pending)
-                pending = nxt
+                pending, _ = self.pump(pending)
         out, self._out = self._out, {}
         return out
