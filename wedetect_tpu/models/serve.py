@@ -88,6 +88,10 @@ from wedetect_tpu.ops.attention import gqa_attention
 #   cur_tok:     (B,)   int32 — next token to FEED (already emitted)
 #   done:        (B,)   bool  — row hit eos / slot is empty
 #   seeds:       (B,)   int32 — per-request sampling seed (T > 0)
+#   caps:        (B,)   int32 — per-request generation cap (<= G): the
+#                row goes done once gen_count reaches it, so a request
+#                asking for 2 tokens frees its slot after 2 steps
+#                instead of occupying it to the pool-wide G
 
 
 def _sample_rows(logits, sampling, seeds, idx):
@@ -173,18 +177,19 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
            decode_params, state, slot, patches, input_ids, attn_mask,
            visual_start: int, position_ids, next_pos0, boxes_xyxy,
            ori_wh, object_positions, sampling=(0.0, 0, 1.0),
-           seed=0):
+           seed=0, cap=2**30):
     """Prefill ONE request and install it into slot ``slot``.
 
     input_ids/attn_mask (1, P); position_ids (3, 1, P); next_pos0 ()
     int32 first generated position; slot () int32 traced — one
     compile covers every slot. The first generated token is sampled
     here (from the decode/lm-head tree, matching ref_generate) and
-    parked in cur_tok; the next _decode_chunk emits it."""
+    parked in cur_tok; the next _decode_chunk emits it. ``cap`` is
+    the per-request generation cap (traced int32)."""
     from wedetect_tpu.models.ref import RefModules
 
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
-        state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds, \
+        caps = state
     mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
     hidden, kvs = mod.apply(
         {"params": params}, patches, input_ids, attn_mask,
@@ -212,8 +217,9 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     cur_tok = cur_tok.at[slot].set(tok0)
     done = done.at[slot].set(False)
     seeds = seeds.at[slot].set(seed)
+    caps = caps.at[slot].set(jnp.asarray(cap, jnp.int32))
     return (tuple(new_caches), prompt_mask, gen_count, next_pos,
-            cur_tok, done, seeds)
+            cur_tok, done, seeds, caps)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 11, 17),
@@ -222,7 +228,8 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
                 decode_params, state, slots, patches, input_ids,
                 attn_mask, visual_start: int, position_ids, next_pos0,
                 boxes_xyxy, ori_wh, object_positions,
-                sampling=(0.0, 0, 1.0), lane_seeds=None):
+                sampling=(0.0, 0, 1.0), lane_seeds=None,
+                lane_caps=None):
     """Prefill N requests in ONE vmapped forward and install them into
     ``slots`` (N,). Batched admission: slot completions cluster in
     waves (all slots admitted together finish within a chunk or two of
@@ -239,10 +246,12 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     prefill and install nothing. One compile total."""
     from wedetect_tpu.models.ref import RefModules
 
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
-        state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds, \
+        caps = state
     if lane_seeds is None:
         lane_seeds = jnp.zeros(slots.shape, jnp.int32)
+    if lane_caps is None:
+        lane_caps = jnp.full(slots.shape, 2**30, jnp.int32)
     mod = RefModules(cfg, grid_h, grid_w, dtype=dtype)
 
     def one(patches_i, ids_i, mask_i, pos_i, boxes_i, ori_i, objp_i):
@@ -279,8 +288,9 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     cur_tok = cur_tok.at[slots].set(tok0)
     done = done.at[slots].set(False)
     seeds = seeds.at[slots].set(lane_seeds)
+    caps = caps.at[slots].set(lane_caps)
     return (tuple(new_caches), prompt_mask, gen_count, next_pos,
-            cur_tok, done, seeds)
+            cur_tok, done, seeds, caps)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 7),
@@ -290,9 +300,10 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     """T lockstep single-token steps across all slots; returns
     ((B, T) emitted tokens, new state). Emission order matches
     ref_generate: each step emits the carried token (pad for done /
-    empty rows), marks done on eos, then computes the next token."""
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
-        state
+    empty rows), marks done on eos or the per-request cap, then
+    computes the next token."""
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds, \
+        caps = state
     c = cfg.text
     b, p_len = prompt_mask.shape
     g_cap = caches[0][0].shape[1] - p_len
@@ -303,6 +314,9 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
 
     def body(carry, _):
         caches, gen_count, next_pos, cur_tok, done = carry
+        # the carried token's generated index is gen_count: a request
+        # capped at k emits exactly tokens 0..k-1 then frees its slot
+        done = done | (gen_count >= caps)
         emitted = jnp.where(done, pad_id, cur_tok)
         done = done | (cur_tok == eos_id)
         x = emb[cur_tok][:, None, :].astype(dtype)
@@ -335,7 +349,7 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
         body, (caches, gen_count, next_pos, cur_tok, done),
         jnp.arange(chunk, dtype=jnp.int32))
     state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done,
-             seeds)
+             seeds, caps)
     return toks.T, state
 
 
@@ -450,7 +464,8 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
                      dtype, params, state, pend_emb, pend_ds,
                      pend_mask, pend_pos, pend_len, pend_np0,
                      pend_slot, visual_start,
-                     sampling=(0.0, 0, 1.0), pend_seed=0):
+                     sampling=(0.0, 0, 1.0), pend_seed=0,
+                     pend_cap=2**30):
     """_decode_chunk with ONE piggybacked admission: each of the T
     scan steps also processes F = ceil(P/T) rows of the pending
     prompt, so the whole prompt's decoder prefill completes within the
@@ -465,8 +480,8 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     pend_mask (P,) int32; pend_pos (3, P) MRoPE ids; pend_len / pend_np0
     / pend_slot / visual_start () int32 scalars (all traced — one
     compile serves admissions and idle dispatches alike)."""
-    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds = \
-        state
+    caches, prompt_mask, gen_count, next_pos, cur_tok, done, seeds, \
+        caps = state
     pend_seed = jnp.asarray(pend_seed, jnp.int32)
     c = cfg.text
     b, p_len = prompt_mask.shape
@@ -489,6 +504,7 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
 
     def body(carry, t):
         caches, gen_count, next_pos, cur_tok, done, h_pend = carry
+        done = done | (gen_count >= caps)       # per-request cap
         emitted = jnp.where(done, pad_id, cur_tok)
         done = done | (cur_tok == eos_id)
         x_dec = emb[cur_tok][:, None, :].astype(dtype)
@@ -558,8 +574,9 @@ def _decode_chunk_pb(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
     cur_tok = cur_tok.at[pend_slot].set(tok0)
     done = done.at[pend_slot].set(False)
     seeds = seeds.at[pend_slot].set(pend_seed)
+    caps = caps.at[pend_slot].set(jnp.asarray(pend_cap, jnp.int32))
     state = (caches, prompt_mask, gen_count, next_pos, cur_tok, done,
-             seeds)
+             seeds, caps)
     return toks.T, state
 
 
@@ -647,12 +664,18 @@ class GenServer:
             jnp.zeros((slots,), jnp.int32),
             jnp.full((slots,), pad_id, jnp.int32),
             jnp.ones((slots,), bool),
-            jnp.zeros((slots,), jnp.int32))
+            jnp.zeros((slots,), jnp.int32),
+            jnp.full((slots,), max_new, jnp.int32))
         self._queue = deque()
         self._live = {}            # slot -> req id
         self._buf = {}             # req id -> [tokens]
         self._out = {}             # req id -> np.ndarray (finished)
         self._next_id = 0
+        # optional streaming hook: called from _collect (the engine
+        # thread) as on_tokens(rid, [new tokens]) whenever a readback
+        # appends tokens to a live request — lets a serving front-end
+        # stream tokens per chunk instead of waiting for completion
+        self.on_tokens = None
         # piggyback lane: (slot, rid, encoded args) reserved by
         # _admit_queued, consumed by the next _dispatch_chunk (which
         # falls back to the plain _decode_chunk when nothing pends —
@@ -666,14 +689,18 @@ class GenServer:
 
     def submit(self, patches, input_ids, attn_mask, position_ids,
                visual_start: int, next_pos0: int, boxes_xyxy=None,
-               ori_wh=None, object_positions=None, seed=None) -> int:
+               ori_wh=None, object_positions=None, seed=None,
+               max_new=None) -> int:
         """Queue one request. input_ids/attn_mask (P,) or (1, P);
         position_ids (3, P) or (3, 1, P). boxes/object_positions as in
         ref_generate (None = caption-only dummy). ``seed`` drives this
         request's sampling stream when the server runs with
         temperature > 0 (default: the request id — distinct streams
-        per request, reproducible across runs and scheduling). Returns
-        a request id resolved by step()/run()."""
+        per request, reproducible across runs and scheduling).
+        ``max_new`` caps THIS request's generated tokens (<= the
+        pool-wide G): the slot goes done and refills once the cap is
+        hit, instead of burning decode steps to G whose output would
+        be discarded. Returns a request id resolved by step()/run()."""
         ids = np.asarray(input_ids, np.int32).reshape(1, self.P)
         mask = np.asarray(attn_mask, np.int32).reshape(1, self.P)
         pos = np.asarray(position_ids, np.int32).reshape(3, 1, self.P)
@@ -683,12 +710,14 @@ class GenServer:
             ori_wh = np.array([10.0, 10.0], np.float32)
         if object_positions is None:
             object_positions = np.full((1, 1), -1, np.int32)
+        cap = self.G if max_new is None else max(1, min(int(max_new),
+                                                        self.G))
         rid = self._next_id
         self._next_id += 1
         self._queue.append((rid, patches, ids, mask, pos,
                             int(visual_start), int(next_pos0),
                             boxes_xyxy, ori_wh, object_positions,
-                            int(rid if seed is None else seed)))
+                            int(rid if seed is None else seed), cap))
         self._buf[rid] = []
         return rid
 
@@ -740,7 +769,7 @@ class GenServer:
             slots_n, free = free[:n], free[n:]
             if n == 1:
                 (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
-                 objp, seed) = items[0]
+                 objp, seed, cap) = items[0]
                 self._state = _admit(
                     self.cfg, self.gh, self.gw, self.dtype,
                     self.params, self.decode_params, self._state,
@@ -749,7 +778,8 @@ class GenServer:
                     jnp.asarray(mask), vs, jnp.asarray(pos),
                     jnp.asarray(np0, jnp.int32), jnp.asarray(boxes),
                     jnp.asarray(ori), jnp.asarray(objp),
-                    self.sampling, jnp.asarray(seed, jnp.int32))
+                    self.sampling, jnp.asarray(seed, jnp.int32),
+                    jnp.asarray(cap, jnp.int32))
                 self._live[slots_n[0]] = rid
             else:
                 vs = items[0][5]
@@ -786,6 +816,8 @@ class GenServer:
                                           for it in lanes])),
                     self.sampling,
                     jnp.asarray(np.asarray([it[10] for it in lanes],
+                                           np.int32)),
+                    jnp.asarray(np.asarray([it[11] for it in lanes],
                                            np.int32)))
                 for slot, it in zip(slots_n, items):
                     self._live[slot] = it[0]
@@ -797,7 +829,7 @@ class GenServer:
         """Dispatch the embedding-assembly half of one admission
         (async); returns the _decode_chunk_pb pend args minus slot."""
         (rid, patches, ids, mask, pos, vs, np0, boxes, ori,
-         objp, seed) = item
+         objp, seed, cap) = item
         emb, ds = _encode_prompt(
             self.cfg, self.gh, self.gw, self.dtype, self.params,
             jnp.asarray(patches),
@@ -812,7 +844,8 @@ class GenServer:
                 jnp.asarray(int(np.asarray(mask).sum()), jnp.int32),
                 jnp.asarray(np0, jnp.int32),
                 jnp.asarray(vs, jnp.int32),
-                jnp.asarray(seed, jnp.int32))
+                jnp.asarray(seed, jnp.int32),
+                jnp.asarray(cap, jnp.int32))
 
     def _dispatch_chunk(self):
         """Dispatch one decode chunk (async); returns the device
@@ -833,12 +866,12 @@ class GenServer:
                 self.dtype, dp, self._state, self.sampling)
             self.stats["chunks"] += 1
             return toks, dict(self._live)
-        slot_i, rid, (emb, ds, mask, pos, ln, np0, vs, seed) = pend
+        slot_i, rid, (emb, ds, mask, pos, ln, np0, vs, seed, cap) = pend
         slot = jnp.asarray(slot_i, jnp.int32)
         toks, self._state = _decode_chunk_pb(
             self.cfg, self.chunk, self.eos_id, self.pad_id,
             self.dtype, dp, self._state, emb, ds, mask, pos, ln, np0,
-            slot, vs, self.sampling, seed)
+            slot, vs, self.sampling, seed, cap)
         snap = dict(self._live)
         if pend is not None:
             self._live[pend[0]] = pend[1]
@@ -861,6 +894,7 @@ class GenServer:
             buf = self._buf.get(rid)
             if buf is None:                            # finished earlier
                 continue
+            n0 = len(buf)
             hit_end = False
             for t in toks[slot]:
                 t = int(t)
@@ -869,6 +903,8 @@ class GenServer:
                     hit_end = True
                     break
                 buf.append(t)
+            if self.on_tokens is not None and len(buf) > n0:
+                self.on_tokens(rid, buf[n0:])
             if hit_end or len(buf) >= self.G:
                 out = np.asarray(buf, np.int32)
                 self._out[rid] = out

@@ -25,7 +25,18 @@ Design, TPU-first:
   bf16, one 8-slot P=384 pool is ~0.5 GB). Images snap to the
   scorer's grid_buckets and prompts to ``prompt_buckets``, so a
   deployment that pins one bucket each reuses exactly one compiled
-  engine forever. Idle pools are evicted LRU when the cap is hit.
+  engine forever. Idle pools are evicted LRU when the cap is hit;
+  when every resident pool is ACTIVE, admissions for new keys are
+  deferred until one goes idle — never allocated past the cap.
+- **No single-exception wedge.** An engine-side raise during a pool's
+  pump() fails that pool's in-flight requests with an error (instead
+  of letting them hang to the HTTP timeout), records the incident
+  (surfaced as ``degraded``/``incidents`` in /health), and drops the
+  pool; a fresh one rebuilds on the next admission for that key.
+- **Streaming + backpressure.** ``submit(stream=True)`` delivers
+  token-id lists per decode chunk through Result.stream_queue (the
+  GenServer.on_tokens hook); ``max_queue`` bounds the admission queue
+  and rejects beyond it with Overloaded (HTTP 429 upstream).
 - **Continuous batching across requests.** The engine loop round-
   robins ``pump()`` over pools with live work: each turn admits
   queued requests into free slots, dispatches one decode chunk
@@ -54,17 +65,33 @@ import time
 
 import numpy as np
 
-__all__ = ["GenService", "Result"]
+__all__ = ["GenService", "Result", "Overloaded"]
+
+
+class Overloaded(RuntimeError):
+    """Raised by submit() when the admission queue is at max_queue —
+    the HTTP front-end maps it to 429 + Retry-After (backpressure
+    instead of unbounded memory/latency growth under a client burst)."""
 
 
 class Result:
-    """Completion handle returned by GenService.submit()."""
+    """Completion handle returned by GenService.submit().
 
-    def __init__(self):
+    ``id`` is the request's stable identifier (stamped at submit).
+    With ``stream=True``, ``stream_queue`` receives lists of newly
+    generated token ids as each decode chunk lands (then ``None`` as
+    the end-of-stream sentinel, after which tokens/text/error are
+    final)."""
+
+    def __init__(self, rid: int, stream: bool = False):
+        self.id = rid
         self._event = threading.Event()
+        self.stream_queue: queue.Queue | None = \
+            queue.Queue() if stream else None
         self.tokens: np.ndarray | None = None
         self.text: str | None = None
         self.error: str | None = None
+        self._n_streamed = 0
 
     def wait(self, timeout: float | None = None) -> bool:
         return self._event.wait(timeout)
@@ -72,10 +99,25 @@ class Result:
     def _resolve(self, tokens, text):
         self.tokens, self.text = tokens, text
         self._event.set()
+        if self.stream_queue is not None:
+            self.stream_queue.put(None)
 
     def _fail(self, error: str):
         self.error = error
         self._event.set()
+        if self.stream_queue is not None:
+            self.stream_queue.put(None)
+
+    def _stream(self, toks, cap: int):
+        if self.stream_queue is None:
+            return
+        room = cap - self._n_streamed
+        if room <= 0:
+            return
+        toks = list(toks)[:room]
+        self._n_streamed += len(toks)
+        if toks:
+            self.stream_queue.put(toks)
 
 
 class _Pool:
@@ -104,6 +146,7 @@ class GenService:
                  max_new: int = 128,
                  prompt_buckets=(256, 384, 512),
                  max_pools: int = 2,
+                 max_queue: int = 0,
                  eos_token_id: int = 151645,
                  pad_token_id: int = 151643,
                  temperature: float = 0.0, top_k: int = 0,
@@ -112,6 +155,7 @@ class GenService:
         self.slots, self.chunk, self.max_new = slots, chunk, max_new
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.max_pools = max_pools
+        self.max_queue = max_queue   # 0 = unbounded admission queue
         self.eos_id, self.pad_id = eos_token_id, pad_token_id
         self.sampling = (temperature, top_k, top_p)
         if scorer.quantize_decode and scorer._decode_params is None:
@@ -120,9 +164,13 @@ class GenService:
             scorer._decode_params = quantize_decode_params(
                 scorer.params, bits=bits)
         self._inbox: queue.Queue = queue.Queue()
+        self._deferred: list = []    # items waiting for a pool slot
         self._pools: dict = {}       # (gh, gw, vs, p_pad) -> _Pool
+        self._incidents: list = []   # (time, pool key str, error str)
         self._stop = threading.Event()
         self._served = 0
+        self._next_rid = 0
+        self._rid_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop,
                                         name="gen-engine", daemon=True)
         self._thread.start()
@@ -130,12 +178,22 @@ class GenService:
     # ---------------------------------------------------- client side
 
     def submit(self, image, prompt: str, max_new_tokens: int = 0,
-               seed: int | None = None) -> Result:
+               seed: int | None = None, stream: bool = False) -> Result:
         """Host-only prompt assembly + enqueue; returns a Result the
         caller waits on. Raises ValueError when the prompt exceeds the
-        largest bucket (the engine's compiled shapes are static)."""
+        largest bucket (the engine's compiled shapes are static) and
+        Overloaded when the admission queue is at ``max_queue``. With
+        ``stream=True`` the Result's stream_queue receives token-id
+        lists per decode chunk (None = end of stream)."""
         if self._stop.is_set():
             raise RuntimeError("service stopped")
+        # count deferred items too: the engine moves pool-capped
+        # admissions inbox -> _deferred, which would otherwise free
+        # inbox space and let a mixed-key burst grow past the cap
+        if self.max_queue and (self._inbox.qsize()
+                               + len(self._deferred)) >= self.max_queue:
+            raise Overloaded(
+                f"admission queue at max_queue={self.max_queue}")
         built = self.scorer._build_gen_prompt(
             np.asarray(image), prompt, self.pad_id)
         patches, gh, gw, ids, mask, pos, vs, w, h = built
@@ -155,7 +213,10 @@ class GenService:
             ids, mask, pos = ids[:p_pad], mask[:p_pad], pos[:, :p_pad]
         cap = min(max_new_tokens, self.max_new) if max_new_tokens \
             else self.max_new
-        res = Result()
+        with self._rid_lock:
+            rid = self._next_rid
+            self._next_rid += 1
+        res = Result(rid, stream=stream)
         self._inbox.put(((gh, gw, vs, p_pad),
                          (patches, ids, mask, pos, vs, w, h),
                          cap, seed, res))
@@ -177,8 +238,16 @@ class GenService:
             f"{gh}x{gw}/P{p_pad}": dict(srv.stats, active=pool.active)
             for (gh, gw, _vs, p_pad), pool in list(self._pools.items())
             for srv in (pool.srv,)}
-        return {"served": self._served, "queued": self._inbox.qsize(),
-                "pools": pools}
+        out = {"served": self._served, "queued": self._inbox.qsize(),
+               "deferred": len(self._deferred), "pools": pools}
+        if self._incidents:
+            # engine-side failures that dropped a pool (its in-flight
+            # requests were failed, the pool rebuilds on next demand)
+            out["degraded"] = True
+            out["incidents"] = [
+                {"time": t, "pool": k, "error": e}
+                for t, k, e in self._incidents[-8:]]
+        return out
 
     def shutdown(self, timeout: float = 30.0):
         """Stop the engine thread after draining in-flight work."""
@@ -188,14 +257,22 @@ class GenService:
 
     # ---------------------------------------------------- engine side
 
-    def _get_pool(self, key) -> _Pool:
+    def _get_pool(self, key) -> _Pool | None:
+        """Existing pool for ``key``, or a new one if the cap allows
+        (evicting an idle LRU pool when needed). Returns None when the
+        cap is hit and every resident pool is active — the caller
+        DEFERS the admission instead of allocating past the cap (each
+        pool preallocates a slots x (P + max_new) KV cache; creating
+        pools past max_pools under sustained mixed-key traffic would
+        grow HBM unbounded)."""
         pool = self._pools.get(key)
         if pool is None:
             if len(self._pools) >= self.max_pools:
                 idle = [(p.last_used, k) for k, p in
                         self._pools.items() if not p.active]
-                if idle:                       # LRU-evict an idle pool
-                    del self._pools[min(idle)[1]]
+                if not idle:
+                    return None                # defer: all pools busy
+                del self._pools[min(idle)[1]]  # LRU-evict an idle pool
             from wedetect_tpu.models.serve import GenServer
 
             gh, gw, _vs, p_pad = key
@@ -208,25 +285,43 @@ class GenService:
                 dtype=self.scorer._jnp_dtype(),
                 decode_params=self.scorer._decode_params,
                 temperature=t, top_k=k, top_p=p))
+            pool.srv.on_tokens = \
+                lambda rid, toks, _pool=pool: self._on_tokens(
+                    _pool, rid, toks)
             self._pools[key] = pool
         return pool
 
-    def _admit(self, item):
+    def _on_tokens(self, pool: _Pool, rid, toks):
+        """GenServer streaming hook (engine thread): route a chunk's
+        newly collected tokens to the request's stream queue."""
+        res, cap = pool.results.get(rid, (None, None))
+        if res is not None:
+            res._stream(toks, cap)
+
+    def _admit(self, item) -> bool:
+        """Admit one inbox item into its pool's engine queue. Returns
+        False when the admission must be deferred (pool cap hit with
+        every pool active); True when the item was consumed (admitted
+        or failed)."""
         import jax.numpy as jnp
 
         key, (patches, ids, mask, pos, vs, w, h), cap, seed, res = item
         try:
             pool = self._get_pool(key)
+            if pool is None:
+                return False
             srv = pool.srv
             next_pos0 = int(pos[:, mask.astype(bool)].max()) + 1
             rid = srv.submit(
                 jnp.asarray(patches), ids, mask, pos, vs, next_pos0,
                 boxes_xyxy=np.array([[0, 0, w, h]], np.float32),
-                ori_wh=np.array([w, h], np.float32), seed=seed)
+                ori_wh=np.array([w, h], np.float32), seed=seed,
+                max_new=cap)
             pool.results[rid] = (res, cap)
             pool.last_used = time.monotonic()
         except Exception as e:                  # resolve, don't wedge
             res._fail(f"{type(e).__name__}: {e}")
+        return True
 
     def _resolve(self, pool: _Pool, finished: dict):
         tok = self.scorer.tokenizer
@@ -242,21 +337,46 @@ class GenService:
 
     def _loop(self):
         while True:
-            busy = any(p.active for p in self._pools.values())
+            busy = any(p.active for p in self._pools.values()) \
+                or bool(self._deferred)
             try:
                 # block only when fully idle; otherwise just drain
                 item = self._inbox.get(
                     block=not busy, timeout=None if busy else 0.25)
                 while True:
-                    if item is not None:
-                        self._admit(item)
+                    if item is not None and not self._admit(item):
+                        self._deferred.append(item)
                     item = self._inbox.get_nowait()
             except queue.Empty:
                 pass
             if self._stop.is_set() and self._inbox.empty() and \
+                    not self._deferred and \
                     not any(p.active for p in self._pools.values()):
                 return
-            for pool in list(self._pools.values()):
-                if pool.active:
+            for key, pool in list(self._pools.items()):
+                if not pool.active:
+                    continue
+                try:
                     pool.pending, finished = pool.srv.pump(pool.pending)
-                    self._resolve(pool, finished)
+                except Exception as e:  # noqa: BLE001 — fail visibly,
+                    # never wedge: one engine-side raise fails every
+                    # in-flight request of THIS pool, records the
+                    # incident for /health, and drops the pool (a
+                    # fresh one rebuilds on the next admission for the
+                    # key); other pools and future requests proceed.
+                    err = f"engine failure: {type(e).__name__}: {e}"
+                    for res, _cap in pool.results.values():
+                        res._fail(err)
+                    pool.results.clear()
+                    if self._pools.get(key) is pool:
+                        del self._pools[key]
+                    gh, gw, _vs, p_pad = key
+                    self._incidents.append(
+                        (time.time(), f"{gh}x{gw}/P{p_pad}", str(e)))
+                    continue
+                self._resolve(pool, finished)
+            if self._deferred:
+                # retry pool-capped admissions — a pool may have gone
+                # idle (evictable) since the last turn
+                self._deferred = [it for it in self._deferred
+                                  if not self._admit(it)]
