@@ -582,7 +582,7 @@ def bench_spec(new=128, trials=3, cfg=None, gh=40, gw=30, P=384):
 def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                 P=384, chunks=(16, 32), int8_prefill=False,
                 int8_decode=False, int4_decode=False,
-                piggyback=False, batch_admit=False):
+                piggyback=False, batch_admit=False, trials=3):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
@@ -647,8 +647,23 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
             total = sum(len(v) for v in out.values())
             return srv2, total, dt
 
-        srv2, total, dt = timed_run(True)
+        # best-of-N: this row is the MOST transport-exposed (a host
+        # readback every chunk) and was the only single-shot one —
+        # BENCH_r04 recorded a degraded-tunnel 519 tok/s vs the 928
+        # steady state (VERDICT r4 weak #1 / next #1a)
+        srv2 = total = dt = None
+        for _ in range(trials):
+            srv_t, total_t, dt_t = timed_run(True)
+            if srv2 is None or total_t / dt_t > total / dt:
+                srv2, total, dt = srv_t, total_t, dt_t
+            else:
+                del srv_t      # one live KV pool at a time (HBM)
+            gc.collect()
         steps = srv2.stats["chunks"] * chunk * slots
+        # stats snapshot BEFORE the probes below mutate them
+        n_chunks_run = srv2.stats["chunks"]
+        n_admit_disp_run = srv2.stats["admits"] - srv2.stats.get(
+            "pb_admits", 0)
         res[f"chunk{chunk}_tok_s"] = round(total / dt, 1)
         res[f"chunk{chunk}_occupancy"] = round(total / steps, 3)
         srv_sync, total_s, dt_s = timed_run(False)
@@ -661,18 +676,41 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         t0 = time.perf_counter()
         srv2._admit_queued()
         np.asarray(srv2._state[4])
-        res[f"chunk{chunk}_admit_ms"] = round(
-            (time.perf_counter() - t0) * 1e3, 1)
+        admit_s = time.perf_counter() - t0
+        res[f"chunk{chunk}_admit_ms"] = round(admit_s * 1e3, 1)
         t0 = time.perf_counter()
         toks, _ = srv2._dispatch_chunk()
         np.asarray(toks)
         res[f"chunk{chunk}_chunk_ms"] = round(
             (time.perf_counter() - t0) * 1e3, 1)
+        # device-only chunk time: chain 4 async dispatches, sync once
+        # — per-chunk transport (dispatch floor + readback) pipelines
+        # away, leaving the device compute the engine can't beat
+        t0 = time.perf_counter()
+        for _ in range(4):
+            toks, _ = srv2._dispatch_chunk()
+        np.asarray(toks)
+        chunk_dev_s = (time.perf_counter() - t0) / 4
+        res[f"chunk{chunk}_chunk_dev_ms"] = round(chunk_dev_s * 1e3, 1)
+        # device-limited ceiling from the timed run's own schedule:
+        # the chunks it dispatched at device-only speed, plus its
+        # admission prefills (each a synced admit today). The ratio
+        # tok_s/ceiling is the transport health of the recorded row
+        # (VERDICT r4 next #1c).
+        dev_total_s = (n_chunks_run * chunk_dev_s
+                       + n_admit_disp_run * admit_s)
+        res[f"chunk{chunk}_ceiling_tok_s"] = round(
+            total / dev_total_s, 1)
         print(f"# serve chunk={chunk}: {total} toks in {dt:.2f}s = "
-              f"{total / dt:.1f} tok/s (sync {total_s / dt_s:.1f}, "
-              f"occupancy {total / steps:.3f}, admit "
-              f"{res[f'chunk{chunk}_admit_ms']} ms, chunk "
-              f"{res[f'chunk{chunk}_chunk_ms']} ms)", file=sys.stderr)
+              f"{total / dt:.1f} tok/s of ceiling "
+              f"{res[f'chunk{chunk}_ceiling_tok_s']} (sync "
+              f"{total_s / dt_s:.1f}, occupancy {total / steps:.3f}, "
+              f"admit {res[f'chunk{chunk}_admit_ms']} ms, chunk "
+              f"{res[f'chunk{chunk}_chunk_ms']} ms, dev "
+              f"{res[f'chunk{chunk}_chunk_dev_ms']} ms)",
+              file=sys.stderr)
+        del srv2
+        gc.collect()
     del params
     gc.collect()
     return res
@@ -742,6 +780,27 @@ def _timed(f):
     return time.perf_counter() - t0
 
 
+def bench_transport():
+    """Tunnel/transport microprobes, recorded as BENCH sub-rows so a
+    degraded transport is visible in the record itself (VERDICT r4
+    weak #2: host-in-the-loop rows swung 1.6x between rounds with
+    identical code — dispatch floor 3-35 ms, readback 30-200 ms by
+    hour, NOTES.md "Environment gotchas"). best-of-N so a single GC
+    pause can't pollute the probe."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros((), jnp.float32)
+    np.asarray(f(x))                               # compile + warm
+    dispatch = min(_timed(lambda: np.asarray(f(x))) for _ in range(5))
+    big = jax.device_put(np.zeros(10 * 1024 * 1024 // 4, np.float32))
+    np.asarray(big)                                # warm the path
+    readback = min(_timed(lambda: np.asarray(big)) for _ in range(3))
+    return {"dispatch_ms": round(dispatch * 1e3, 1),
+            "readback10mb_ms": round(readback * 1e3, 1)}
+
+
 def main():
     import jax
 
@@ -769,6 +828,19 @@ def main():
         }), flush=True)
 
     base = 0.0
+    if on_tpu and not quick:
+        # transport probes FIRST: they timestamp the tunnel's health
+        # for every row that follows (host-in-the-loop rows are
+        # hostage to it — VERDICT r4 weak #2)
+        try:
+            probe = bench_transport()
+            sub["probe_dispatch_ms"] = probe["dispatch_ms"]
+            sub["probe_readback10mb_ms"] = probe["readback10mb_ms"]
+            print(f"# transport probe: dispatch "
+                  f"{probe['dispatch_ms']} ms, 10MB readback "
+                  f"{probe['readback10mb_ms']} ms", file=sys.stderr)
+        except Exception as e:
+            print(f"# transport probe failed: {e!r}", file=sys.stderr)
     if only is None or only == "base":
         base = bench_detect(
             "base", 80,
@@ -815,10 +887,19 @@ def main():
     def row_serve():
         # chunk=8 is the pipelined-run optimum (PERF.md round-4
         # serving section: smaller chunks cut slot idle once the
-        # readback no longer stalls the device)
+        # readback no longer stalls the device). best-of-3 + exported
+        # device/transport microprobes so a degraded tunnel is
+        # visible in the record itself (VERDICT r4 next #1).
+        probe = bench_transport()
+        sub["serve_probe_dispatch_ms"] = probe["dispatch_ms"]
+        sub["serve_probe_readback10mb_ms"] = probe["readback10mb_ms"]
         r = bench_serve(chunks=(8,))
         sub["serve2b_tok_per_s"] = r["chunk8_tok_s"]
         sub["serve2b_occupancy"] = r["chunk8_occupancy"]
+        sub["serve2b_tok_per_s_ceiling"] = r["chunk8_ceiling_tok_s"]
+        sub["serve2b_admit_ms"] = r["chunk8_admit_ms"]
+        sub["serve2b_chunk_ms"] = r["chunk8_chunk_ms"]
+        sub["serve2b_chunk_dev_ms"] = r["chunk8_chunk_dev_ms"]
 
     def row_ref2b_int8():
         sub["ref2b_int8_queries_per_s"] = round(
@@ -853,7 +934,7 @@ def main():
         ("ref2b", 260, row_ref2b),
         ("ref4b", 380, row_ref4b),
         ("gen", 330, row_gen),
-        ("serve", 330, row_serve),
+        ("serve", 420, row_serve),
         ("ref2b_int8", 260, row_ref2b_int8),
         ("gen_int8", 260, row_gen_int8),
         ("gen_int4", 260, row_gen_int4),
