@@ -139,6 +139,14 @@ def evaluate_coco(cfg: ModelCfg, variables, ds: CocoDetDataset,
 
         all_records = all_gather_object(evaluator._records)
         evaluator._records = [r for part in all_records for r in part]
+        if hasattr(evaluator, "_images"):
+            # LvisEvaluator matches lazily in summarize() from the
+            # buffered per-image inputs (the fixed-AP cap is a
+            # DATASET-global top-k, so it must see every rank's
+            # detections before matching) — gather those too
+            all_images = all_gather_object(evaluator._images)
+            evaluator._images = [im for part in all_images
+                                 for im in part]
         if dump_path is not None:
             parts = all_gather_object(dump_records)
             dump_records = [r for part in parts for r in part]
