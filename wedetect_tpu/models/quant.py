@@ -39,7 +39,12 @@ int4 is lossier than int8 (4-bit codes; the rank-1 scaling recovers
 row/column dynamic range but not per-group structure). Mechanics are
 pinned exactly (pow2-scale bitwise test, packing round-trip over all
 16 nibbles); accuracy on a real checkpoint must be validated per
-deployment — this module pins logit cosine on random weights only.
+deployment — run ``cli/quant_gate`` (logit cosine, greedy-token
+agreement, REC score deltas) on the target checkpoint before enabling
+--int4-decode, and optionally fit activation-calibrated scales
+(``quantize_weight4(act_rms=...)`` via models/quant_calib or
+``RefScorer.calibrate_decode``). The in-repo tests pin the envelope on
+random weights only.
 
 Cross-program determinism caveat (int4): ref_generate's scan and
 GenServer's chunked decode compute step-identical math (their layer
@@ -77,6 +82,8 @@ against the full-precision decode.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -96,7 +103,9 @@ def quantize_weight(w, axis=0):
     return {"w8": w8, "scale": jnp.squeeze(scale, axis=axis)}
 
 
-def quantize_weight4(w, axis=0, iters=2):
+def quantize_weight4(w, axis=0, iters=2, act_rms=None,
+                     alphas=(0.0, 0.25, 0.5),
+                     clip_grid=(1.0, 0.95, 0.9, 0.85, 0.8, 0.7)):
     """Rank-1 two-sided symmetric int4: returns
     ``{w4p, rscale, scale}`` with
     ``diag(rscale) @ unpack(w4p) @ diag(scale) ~= w``.
@@ -106,8 +115,26 @@ def quantize_weight4(w, axis=0, iters=2):
     are fit by alternating row/column absmax normalization (Sinkhorn
     style); the final column pass makes every column's absmax map to
     exactly +/-7, so codes never clip. ``w4p`` packs contraction-axis
-    row pairs (2i -> low nibble, 2i+1 -> high) into one int8."""
+    row pairs (2i -> low nibble, 2i+1 -> high) into one int8.
+
+    ``act_rms`` (H,) — optional calibration statistics: the RMS of the
+    matmul's input activation per contraction channel
+    (models/quant_calib collects them from real prompts). When given,
+    the fit minimizes the ACTIVATION-WEIGHTED reconstruction error
+    sum_io a_i^2 (w_io - deq_io)^2 — the first-order proxy for the
+    output error E||y @ w - y @ deq||^2 — by searching (a) AWQ-style
+    row re-weighting alphas (rows with large activations get finer
+    grids; codes may then clip at +/-7) and (b) per-column clip
+    factors beta <= 1 (clipping the absmax outlier of a column buys a
+    finer grid for everything else). alpha=0, beta=1 — the plain
+    uncalibrated fit — is always in the search space, so the
+    calibrated fit NEVER does worse under the weighted metric. The
+    leaf format is unchanged; consumers cannot tell the fits apart."""
     assert axis == 0, "contraction axis must be 0"
+    if act_rms is not None:
+        return _fit_int4_calibrated(np.asarray(w, np.float32),
+                                    np.asarray(act_rms, np.float32),
+                                    iters, alphas, clip_grid)
     wf = jnp.asarray(w).astype(jnp.float32)
     h, o = wf.shape
     assert h % 2 == 0, "contraction dim must be even to nibble-pack"
@@ -120,6 +147,54 @@ def quantize_weight4(w, axis=0, iters=2):
     q = jnp.clip(jnp.round(wf / (r[:, None] * c[None, :]) * 7.0),
                  -7, 7).astype(jnp.int8)
     return {"w4p": pack_int4(q), "rscale": r, "scale": c / 7.0}
+
+
+def _fit_int4_calibrated(wf, act_rms, iters, alphas, clip_grid,
+                         col_chunk=4096):
+    """Activation-weighted int4 fit (host-side numpy — quantization is
+    a one-time setup step; column-chunked so the LM head's
+    (hidden, vocab) never materializes more than one (H, col_chunk)
+    temp per candidate). See quantize_weight4's docstring for the
+    objective; returns the same {w4p, rscale, scale} leaf."""
+    h, o = wf.shape
+    assert h % 2 == 0, "contraction dim must be even to nibble-pack"
+    a = np.maximum(act_rms, 1e-12).astype(np.float32)
+    a = a / a.mean()
+    w2 = (a * a)[:, None]                     # row weights of the MSE
+    best_total, best = np.inf, None
+    for alpha in alphas:
+        s_act = a ** np.float32(alpha)
+        wa = np.maximum(np.abs(wf) * s_act[:, None], 1e-12)
+        r = np.ones(h, np.float32)
+        for _ in range(iters):
+            c = (wa / r[:, None]).max(axis=0)
+            r = (wa / c[None, :]).max(axis=1)
+        c = (wa / r[:, None]).max(axis=0)
+        r = r / s_act                     # undo the fit re-weighting
+        codes = np.empty((h, o), np.int8)
+        scale = np.empty(o, np.float32)
+        total = 0.0
+        for st in range(0, o, col_chunk):
+            sl = slice(st, min(st + col_chunk, o))
+            wb = wf[:, sl]
+            err_best = np.full(wb.shape[1], np.inf, np.float32)
+            for beta in clip_grid:
+                sc = (c[sl] * np.float32(beta)) / 7.0
+                cd = np.clip(np.rint(wb / (r[:, None] * sc[None, :])),
+                             -7, 7).astype(np.int8)
+                err = (np.square(wb - r[:, None] * cd * sc[None, :])
+                       * w2).sum(axis=0)
+                upd = err < err_best
+                err_best = np.where(upd, err, err_best)
+                codes[:, sl] = np.where(upd[None, :], cd, codes[:, sl])
+                scale[sl] = np.where(upd, sc, scale[sl])
+            total += float(err_best.sum())
+        if total < best_total:
+            best_total = total
+            best = (codes.copy(), r, scale)
+    codes, r, scale = best
+    return {"w4p": pack_int4(jnp.asarray(codes)),
+            "rscale": jnp.asarray(r), "scale": jnp.asarray(scale)}
 
 
 def pack_int4(q):
@@ -179,37 +254,54 @@ def prepare_decode_params(dp):
     return walk(dp)
 
 
-def quantize_decode_params(params, bits: int = 8):
+def quantize_decode_params(params, bits: int = 8, calib=None):
     """Build the decode-param tree for ref_generate(decode_params=...).
 
     Quantizes the seven matmul kernels of every text layer plus the LM
     head — to int8 (per-output-channel scales) or int4 (``bits=4``:
     nibble-packed codes + rank-1 two-sided scales, module docstring) —
     and copies norms/embedding through unchanged. Matmul weights
-    shrink ~4x vs f32 at int8 and ~8x at int4."""
+    shrink ~4x vs f32 at int8 and ~8x at int4.
+
+    ``calib`` (int4 only): per-matmul activation-RMS statistics from
+    models/quant_calib.calibrate_decode_acts —
+    ``{"text": {"layer{i}": {matmul: (H,)}}, "lm_head": (H,)}`` —
+    enabling quantize_weight4's activation-weighted fit. Missing
+    entries fall back to the plain fit."""
     assert bits in (8, 4), bits
-    qw = quantize_weight if bits == 8 else quantize_weight4
+    assert calib is None or bits == 4, \
+        "calibration applies to the int4 fit only (int8 is plain absmax)"
+
+    def qw(kernel, rms):
+        if bits == 8:
+            return quantize_weight(kernel, axis=0)
+        return quantize_weight4(kernel, axis=0, act_rms=rms)
+
+    calib = calib or {}
+    ctext = calib.get("text", {})
     text = params["text"]
     qtext = {}
     for name, layer in text.items():
         if not name.startswith("layer"):
             qtext[name] = layer          # final "norm"
             continue
+        crms = ctext.get(name, {})
         ql = {}
         for k, leaf in layer.items():
             if k in _LAYER_MATMULS:
-                ql[k] = qw(leaf["kernel"], axis=0)
+                ql[k] = qw(leaf["kernel"], crms.get(k))
             else:
                 ql[k] = leaf             # input_ln/post_ln/q_norm/k_norm
         qtext[name] = ql
     out = {"text": qtext, "embed": params["embed"]}
+    head_rms = calib.get("lm_head")
     if "lm_head" in params:
-        out["lm_head"] = qw(params["lm_head"]["kernel"], axis=0)
+        out["lm_head"] = qw(params["lm_head"]["kernel"], head_rms)
     else:
         # tied head: quantize the transposed embedding (per-vocab-row
         # scale); the un-transposed table stays for the token lookup
         emb = params["embed"]["embed_tokens"]["embedding"]
-        out["lm_head"] = qw(jnp.asarray(emb).T, axis=0)
+        out["lm_head"] = qw(jnp.asarray(emb).T, head_rms)
     return out
 
 

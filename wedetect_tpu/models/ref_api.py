@@ -520,6 +520,38 @@ class RefScorer:
         pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
         return patches, gh, gw, ids, mask, pos, visual_start, w, h
 
+    def calibrate_decode(self, requests, pad_token_id: int = 151643):
+        """Fit the int4 decode tree on CALIBRATION activations before
+        serving (models/quant_calib): requests are (image, prompt)
+        pairs exactly as in generate_batch; their prefill activations
+        set the per-matmul channel statistics that
+        quantize_weight4(act_rms=...) minimizes error against. Sets
+        the scorer's decode params (so later generate_* calls use the
+        calibrated tree) and returns the calib tree. Requires
+        quantize_decode == "int4" — int8 is plain absmax. Validate the
+        result with cli/quant_gate before enabling in deployment."""
+        assert self.quantize_decode == "int4", \
+            "calibration applies to the int4 decode fit only"
+        import jax.numpy as jnp
+
+        from wedetect_tpu.models.quant import quantize_decode_params
+        from wedetect_tpu.models.quant_calib import calibrate_decode_acts
+
+        batches = []
+        for image, prompt in requests:
+            patches, gh, gw, ids, mask, pos, visual_start, w, h = \
+                self._build_gen_prompt(image, prompt, pad_token_id)
+            batches.append(dict(
+                grid_h=gh, grid_w=gw, patches=jnp.asarray(patches),
+                input_ids=ids[None], attn_mask=mask[None],
+                position_ids=pos[:, None], visual_start=visual_start,
+                boxes_xyxy=np.array([[0, 0, w, h]], np.float32),
+                ori_wh=np.array([w, h], np.float32)))
+        calib = calibrate_decode_acts(self.cfg, self.params, batches)
+        self._decode_params = quantize_decode_params(
+            self.params, bits=4, calib=calib)
+        return calib
+
     def generate_batch(self, requests, max_new_tokens: int = 64,
                        eos_token_id: int = 151645,
                        pad_token_id: int = 151643,
