@@ -26,6 +26,16 @@ def parse_args(argv=None):
     p.add_argument("--ann", required=True)
     p.add_argument("--img-root", required=True)
     p.add_argument("--class-texts", default="")
+    p.add_argument("--class-set", default="",
+                   choices=("", "coco", "lvis"),
+                   help="use the canonical CN/EN retrieval tables "
+                        "(data/retrieval_classes.json — the tables "
+                        "the reference embeds in extract_embedding.py"
+                        ":1324-1587) instead of --class-texts or the "
+                        "dataset's names")
+    p.add_argument("--lang", default="zh", choices=("zh", "en"),
+                   help="language for --class-set (the reference "
+                        "protocol encodes the CHINESE names)")
     p.add_argument("--tokenizer", default="xlm-roberta-base")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--max-images", type=int, default=0)
@@ -62,9 +72,18 @@ def main(argv=None):
         uni.cfg, test=dataclasses.replace(uni.cfg.test, score_thr=0.0))
 
     # text embeddings from the WeDetect checkpoint's text tower
-    # (reference: extract_embedding.py:1293-1304)
-    texts = (first_texts(load_class_texts(args.class_texts))
-             if args.class_texts else ds.class_names)
+    # (reference: extract_embedding.py:1293-1304); class names from a
+    # --class_texts file, the canonical --class-set tables (drop-in
+    # protocol parity: the reference encodes its embedded CHINESE
+    # tables, extract_embedding.py:1706-1713), or the dataset
+    if args.class_texts:
+        texts = first_texts(load_class_texts(args.class_texts))
+    elif args.class_set:
+        from wedetect_tpu.data.retrieval_classes import (
+            load_retrieval_classes)
+        texts = load_retrieval_classes(args.class_set, args.lang)
+    else:
+        texts = ds.class_names
     if args.random_init or not args.wedetect_checkpoint:
         text_embedding = np.random.default_rng(0).standard_normal(
             (len(texts), cfg.embed_dims)).astype(np.float32)
