@@ -35,8 +35,19 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="WeDetect-Ref REC demo")
     p.add_argument("--ref_checkpoint", default="")
     p.add_argument("--wedetect_uni_checkpoint", default="")
-    p.add_argument("--image", required=True)
-    p.add_argument("--query", required=True)
+    p.add_argument("--image", default="")
+    p.add_argument("--video", default="",
+                   help="video source (file/dir/glob/GIF/.npy — "
+                        "data/vision_process.fetch_video) for "
+                        "--generate video chat; grounding/scoring "
+                        "stays image-only, as in the reference")
+    p.add_argument("--fps", type=float, default=None,
+                   help="target sampling fps for --video "
+                        "(smart_nframes; default 2.0)")
+    p.add_argument("--nframes", type=int, default=None,
+                   help="exact frame count for --video (rounded to "
+                        "the frame factor)")
+    p.add_argument("--query", default="")
     p.add_argument("--score_thre", type=float, default=-1.0,
                    help="<0: top-1 box; >=0: threshold")
     p.add_argument("--num_proposals", type=int, default=100)
@@ -66,6 +77,25 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _run_generate_video(args):
+    """Video chat: fetch_video frames -> one contiguous video span
+    through the grounding trunk (RefScorer.generate_video_text)."""
+    from wedetect_tpu.cli._ref_load import load_ref
+    from wedetect_tpu.models.ref_api import RefScorer
+
+    cfg, params, tok = load_ref(args.ref_checkpoint)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=tok,
+                       quantize_decode="int4" if args.int4_decode
+                       else args.int8_decode,
+                       quant_prefill=args.int8_prefill)
+    text = scorer.generate_video_text(
+        args.video, args.generate, max_new_tokens=args.max_new_tokens,
+        temperature=args.temperature,
+        eos_token_id=tok.convert_tokens_to_ids("<|im_end|>"),
+        fps=args.fps, nframes=args.nframes)
+    print(text)
+
+
 def main(argv=None):
     args = parse_args(argv)
     import numpy as np
@@ -74,11 +104,21 @@ def main(argv=None):
     from wedetect_tpu.models.api import Detector
     from wedetect_tpu.models.ref_api import RefScorer
 
+    if args.video:
+        if not args.generate:
+            raise SystemExit("--video requires --generate (video "
+                             "chat); grounding is image-only")
+        _run_generate_video(args)
+        return
+    if not args.image:
+        raise SystemExit("supply --image (or --video with --generate)")
     img = load_image_rgb(args.image)
 
     if args.generate:
         _run_generate(args, img)
         return
+    if not args.query:
+        raise SystemExit("--query is required for proposal scoring")
 
     # stage 1: Uni proposals
     if args.random_init or not args.wedetect_uni_checkpoint:

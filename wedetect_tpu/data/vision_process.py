@@ -282,6 +282,105 @@ def read_video_cv2(path: str, fps: Optional[float] = None,
     return np.stack([frames[i] for i in idx]), sample_fps
 
 
+_IMAGE_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+_ANIM_EXTS = (".gif", ".apng")
+
+
+def _stack_uniform(frames) -> np.ndarray:
+    """Stack decoded frames, resizing any stragglers to the first
+    frame's size (mixed-size frame lists; PIL-bicubic, the repo's
+    image resample)."""
+    h, w = frames[0].shape[:2]
+    out = [f if f.shape[:2] == (h, w) else resize_pil_bicubic(f, w, h)
+           for f in frames]
+    return np.stack(out).astype(np.uint8)
+
+
+def fetch_video(src, fps: Optional[float] = None,
+                nframes: Optional[int] = None):
+    """Decode + temporally sample frames from any source form the
+    reference's ``fetch_video`` accepts (wedetect_ref/models/
+    vision_process.py:403-447): a video FILE path or ``file://`` URI
+    (decoded via cv2 — the TPU-host replacement for its torchvision/
+    decord/torchcodec backends — with smart_nframes fps sampling), a
+    LIST of per-frame image sources (each through fetch_image, padded
+    to a FRAME_FACTOR multiple by repeating the last frame, reference
+    :430-432), a pre-decoded (T, H, W, 3) array, a directory or glob
+    of frame images, a PIL-decodable animation (.gif/.apng/animated
+    .webp), or an ``.npy``/``.npz`` frame stack. Returns
+    (frames (T, H, W, 3) uint8 RGB, sample_fps); feed the frames to
+    ``video_to_patches``."""
+    import glob as globmod
+    import os
+
+    if isinstance(src, np.ndarray):
+        return _pad_frame_list([f for f in src], fps)
+    if isinstance(src, (list, tuple)):
+        return _pad_frame_list([fetch_image(s) for s in src], fps)
+    if not isinstance(src, str):
+        raise ValueError(
+            f"unrecognized video input (path, file://, directory, "
+            f"glob, .gif/.apng/.webp animation, .npy/.npz stack, "
+            f"frame list or (T, H, W, 3) array supported), "
+            f"got {type(src)}")
+    if src.startswith("file://"):
+        src = src[len("file://"):]
+    low = src.lower()
+    if os.path.isdir(src):
+        paths = sorted(
+            p for p in os.listdir(src)
+            if p.lower().endswith(_IMAGE_EXTS))
+        if not paths:
+            raise ValueError(f"no frame images in directory {src}")
+        return fetch_video([os.path.join(src, p) for p in paths],
+                           fps=fps, nframes=nframes)
+    if any(ch in src for ch in "*?["):
+        paths = sorted(globmod.glob(src))
+        if not paths:
+            raise ValueError(f"glob {src} matched no frames")
+        return fetch_video(paths, fps=fps, nframes=nframes)
+    if low.endswith((".npy", ".npz")):
+        arr = np.load(src)
+        if not isinstance(arr, np.ndarray):      # npz: first array
+            arr = arr[list(arr.files)[0]]
+        return fetch_video(np.asarray(arr), fps=fps, nframes=nframes)
+    if low.endswith(_ANIM_EXTS + (".webp",)):
+        return _read_animation_pil(src, fps=fps, nframes=nframes)
+    return read_video_cv2(src, fps=fps, nframes=nframes)
+
+
+def _pad_frame_list(frames, fps):
+    """Reference list-of-frames semantics (vision_process.py:430-438):
+    keep every frame, pad to a FRAME_FACTOR multiple by repeating the
+    last; sample_fps is the caller's claim (default VIDEO_FPS)."""
+    if not frames:
+        raise ValueError("empty frame list")
+    n = ceil_by_factor(len(frames), FRAME_FACTOR)
+    frames = list(frames) + [frames[-1]] * (n - len(frames))
+    return _stack_uniform(frames), (fps or VIDEO_FPS)
+
+
+def _read_animation_pil(path: str, fps: Optional[float] = None,
+                        nframes: Optional[int] = None):
+    """GIF/APNG/animated-WebP via PIL ImageSequence; the source fps
+    comes from the per-frame duration metadata (fallback VIDEO_FPS),
+    then the standard smart_nframes + linspace sampling applies."""
+    from PIL import Image, ImageSequence
+
+    img = Image.open(path)
+    frames = [np.asarray(f.convert("RGB"))
+              for f in ImageSequence.Iterator(img)]
+    if len(frames) == 1:                  # still image file
+        return _pad_frame_list(frames, fps)
+    dur_ms = img.info.get("duration") or 0
+    video_fps = 1000.0 / dur_ms if dur_ms else VIDEO_FPS
+    total = len(frames)
+    n = smart_nframes(total, video_fps, fps=fps, nframes=nframes)
+    idx = sample_frame_indices(total, n)
+    sample_fps = n / max(total, 1e-6) * video_fps
+    return _stack_uniform([frames[i] for i in idx]), sample_fps
+
+
 def video_frame_pixel_budget(nframes: int, patch: int = 16,
                              merge: int = 2,
                              min_pixels: Optional[int] = None,

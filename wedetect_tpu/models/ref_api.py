@@ -631,6 +631,85 @@ class RefScorer:
                                           else keep)
         return texts
 
+    def generate_video_text(self, video, prompt: str,
+                            max_new_tokens: int = 64,
+                            temperature: float = 0.0,
+                            eos_token_id: int = 151645,
+                            pad_token_id: int = 151643,
+                            seed: int = 0, fps: float = None,
+                            nframes: int = None) -> str:
+        """Video chat/captioning: generation from a VIDEO + user
+        prompt. ``video`` is any source data/vision_process.fetch_video
+        accepts (file path, frame list/array, directory, glob, GIF,
+        .npy) or a pre-decoded (T, H, W, 3) uint8 array; frames are
+        sampled (smart_nframes), temporally patched
+        (video_to_patches) and fed as one contiguous video span with
+        get_rope_index_single_video MRoPE ids — the layout
+        train/ref_lm's video SFT trains (the reference reaches video
+        chat through the HF processor + inherited ``.generate()``,
+        wedetect_ref/models/vision_process.py:403-447 +
+        qwen3vl_grounding.py:311-379)."""
+        import jax
+        import jax.numpy as jnp
+
+        from wedetect_tpu.data.vision_process import (fetch_video,
+                                                      video_to_patches)
+        from wedetect_tpu.models.ref_generate import ref_generate
+        from wedetect_tpu.nn.qwen3vl import get_rope_index_single_video
+
+        c = self.cfg
+        tok = self.tokenizer
+        assert tok is not None, "tokenizer required"
+        frames, _sample_fps = fetch_video(video, fps=fps,
+                                          nframes=nframes)
+        patches, gt, gh, gw = video_to_patches(
+            frames, patch=c.vision.patch,
+            temporal_patch=c.vision.temporal_patch,
+            merge=c.vision.merge)
+        m = c.vision.merge
+        n_vid = gt * (gh // m) * (gw // m)
+        pre = tok.encode("<|im_start|>user\n", add_special_tokens=False)
+        ve = tok.encode("<|vision_end|>", add_special_tokens=False)
+        tail = tok.encode(prompt + "<|im_end|>\n<|im_start|>assistant"
+                          "\n", add_special_tokens=False)
+        ids = np.array(pre + [c.vision_start_token_id]
+                       + [c.video_token_id] * n_vid + ve + tail,
+                       np.int32)
+        pos = get_rope_index_single_video(
+            ids, c.video_token_id, gt, gh, gw, m)
+        visual_start = int(
+            np.nonzero(ids == c.video_token_id)[0][0])
+        p_real = len(ids)
+        p_pad = -(-p_real // 128) * 128
+        mask = np.zeros(p_pad, np.int32)
+        mask[:p_real] = 1
+        ids = np.pad(ids, (0, p_pad - p_real),
+                     constant_values=pad_token_id)
+        pos = np.pad(pos, ((0, 0), (0, p_pad - p_real)))
+        h, w = frames.shape[1:3]
+        if self.quantize_decode and self._decode_params is None:
+            from wedetect_tpu.models.quant import quantize_decode_params
+            bits = 4 if self.quantize_decode == "int4" else 8
+            self._decode_params = quantize_decode_params(self.params,
+                                                         bits=bits)
+        toks = np.asarray(ref_generate(
+            c, gh, gw, self.params, jnp.asarray(patches),
+            jnp.asarray(ids[None]), jnp.asarray(mask[None]),
+            jnp.asarray(pos[:, None].astype(np.int32)), visual_start,
+            jnp.asarray(np.array([pos.max() + 1], np.int32)),
+            jnp.asarray(np.array([[0, 0, w, h]], np.float32)),
+            jnp.asarray(np.array([w, h], np.float32)),
+            max_new_tokens, eos_token_id, temperature, pad_token_id,
+            rng=jax.random.PRNGKey(seed),
+            decode_params=self._decode_params,
+            dtype=self._jnp_dtype(), grid_t=gt))[0]
+        keep = []
+        for t in toks:
+            if t in (eos_token_id, pad_token_id):
+                break
+            keep.append(int(t))
+        return tok.decode(keep) if hasattr(tok, "decode") else keep
+
     def generate_text(self, image: np.ndarray, prompt: str,
                       max_new_tokens: int = 64,
                       temperature: float = 0.0,

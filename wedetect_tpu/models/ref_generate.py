@@ -102,7 +102,7 @@ def _sample(logits, temperature, rng):
 
 @functools.partial(
     jax.jit,
-    static_argnums=(0, 1, 2, 8, 12, 13, 14, 15, 18))
+    static_argnums=(0, 1, 2, 8, 12, 13, 14, 15, 18, 20))
 def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
                  patches, input_ids, attn_mask, position_ids,
                  visual_start: int, next_pos, boxes_xyxy, ori_wh,
@@ -110,7 +110,8 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
                  temperature: float = 0.0,
                  pad_id: int = 0,
                  object_positions=None, rng=None,
-                 dtype=jnp.float32, decode_params=None):
+                 dtype=jnp.float32, decode_params=None,
+                 grid_t: int = 1):
     """Greedy / temperature generation from image-bearing prompts.
 
     patches (S, Dp) one shared image; input_ids/attn_mask (B, P)
@@ -125,6 +126,10 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
     read by the per-token decode layers + LM head — pass
     models/quant.quantize_decode_params(params) for weight-only-int8
     decode (prefill stays full precision; see models/quant docstring).
+    grid_t > 1 feeds a VIDEO prompt: patches hold grid_t temporal
+    groups, the prompt's vision span is grid_t*mh*mw video tokens and
+    position_ids come from get_rope_index_single_video (the same
+    contiguous-span layout train/ref_lm.ref_lm_step trains on).
     """
     from wedetect_tpu.models.ref import RefModules
 
@@ -135,7 +140,7 @@ def ref_generate(cfg: RefCfg, grid_h: int, grid_w: int, params,
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    mod = RefModules(c, grid_h, grid_w, dtype=dtype)
+    mod = RefModules(c, grid_h, grid_w, dtype=dtype, grid_t=grid_t)
     hidden, kvs = mod.apply(
         {"params": params}, patches, input_ids, attn_mask,
         position_ids, boxes_xyxy, ori_wh, visual_start,
