@@ -302,6 +302,9 @@ def run_metrics(dataset, results, args):
 
 def main(argv=None):
     args = parse_args(argv)
+    from wedetect_tpu.eval.dist import maybe_initialize
+
+    maybe_initialize()   # join a multihost launch (scripts/dist_test.sh)
     import jax
 
     from wedetect_tpu.eval.dist import all_gather_object

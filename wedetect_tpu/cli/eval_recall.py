@@ -30,6 +30,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from wedetect_tpu.eval.dist import maybe_initialize
+
+    maybe_initialize()   # join a multihost launch (scripts/dist_test.sh)
     import dataclasses
 
     import jax.numpy as jnp

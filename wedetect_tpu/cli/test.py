@@ -49,6 +49,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    from wedetect_tpu.eval.dist import maybe_initialize
+
+    maybe_initialize()   # join a multihost launch (scripts/dist_test.sh)
     import numpy as np
 
     from wedetect_tpu.data.coco import (CocoDetDataset, first_texts,

@@ -180,6 +180,9 @@ def train_ref_loop(cfg, state, dataset, stage: int, steps: int, *,
 
 def main(argv=None):
     args = parse_args(argv)
+    from wedetect_tpu.eval.dist import maybe_initialize
+
+    maybe_initialize()   # join a multihost launch (scripts/dist_test.sh)
     import jax
 
     from wedetect_tpu.ckpt.io import (latest_checkpoint,
