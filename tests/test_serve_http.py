@@ -483,5 +483,37 @@ def test_http_sse_streaming_and_429(tiny, monkeypatch):
         svc.shutdown()
 
 
+def test_long_prompt_bucket_routing(tiny, monkeypatch):
+    """VERDICT r5 #8: default prompt_buckets now reach 2048 (the r4
+    service rejected anything past 512 while the Ref training cap is
+    5120 tokens). A ~1000-token prompt must route into the P=1024
+    pool — at its REAL padded length — and resolve alongside a short
+    prompt served from the smallest bucket, both pools resident under
+    max_pools=2."""
+    cfg, params = tiny
+    import wedetect_tpu.data.vision_process as vp
+
+    monkeypatch.setattr(vp, "image_to_patches", _fake_patches)
+    img = np.zeros((64, 64, 3), np.uint8)
+    scorer = RefScorer(cfg=cfg, params=params, tokenizer=NoTruncTok(),
+                       seq_buckets=(64, 128), query_batch=2,
+                       max_proposals=3, device_patchify=False)
+    svc = GenService(scorer, slots=2, chunk=2, max_new=4,
+                     max_pools=2, eos_token_id=95, pad_token_id=0)
+    try:
+        # prefix(48) + suffix(34+len) under NoTruncTok:
+        # "a" -> 83 -> P256 (smallest default bucket);
+        # "a"*940 -> 1022 -> P1024
+        futs = [svc.submit(img, "a"), svc.submit(img, "a" * 940)]
+        for f in futs:
+            assert f.wait(600), "engine did not resolve"
+            assert f.error is None, f.error
+            assert f.text
+        keys = set(svc.stats()["pools"])
+        assert keys == {"8x8/P256", "8x8/P1024"}, keys
+    finally:
+        svc.shutdown()
+
+
 # heavy e2e file: excluded from the fast tier (pytest.ini)
 pytestmark = pytest.mark.slow

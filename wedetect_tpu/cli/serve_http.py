@@ -66,9 +66,12 @@ def parse_args(argv=None):
     p.add_argument("--chunk", type=int, default=8,
                    help="decode chunk (8 is the pipelined optimum on "
                         "the v5e — PERF.md round-4 serving)")
-    p.add_argument("--prompt-buckets", default="256,384,512",
-                   help="comma-separated padded prompt lengths; one "
-                        "compiled engine per (grid, prompt) bucket")
+    p.add_argument("--prompt-buckets", default="256,384,512,1024,2048",
+                   help="comma-separated padded prompt lengths "
+                        "(128 multiples: flash admission); one "
+                        "compiled engine per (grid, prompt) bucket — "
+                        "KV/latency trade per bucket in "
+                        "models/serve_http's docstring")
     p.add_argument("--max-pools", type=int, default=2,
                    help="max resident compiled engines (each holds a "
                         "slots x (P + max_new) KV pool in HBM); when "

@@ -20,13 +20,20 @@ Design, TPU-first:
   per-request event until the engine resolves it.
 - **Static-shape pools.** GenServer compiles per (image grid bucket,
   prompt-length bucket, visual_start); the service keeps one server
-  per such key, created on demand and capped at ``max_pools`` (each
-  pool preallocates a slots x (P + max_new) KV cache in HBM — at 2B
-  bf16, one 8-slot P=384 pool is ~0.5 GB). Images snap to the
-  scorer's grid_buckets and prompts to ``prompt_buckets``, so a
-  deployment that pins one bucket each reuses exactly one compiled
-  engine forever. Idle pools are evicted LRU when the cap is hit;
-  when every resident pool is ACTIVE, admissions for new keys are
+  per such key, created on demand and capped at ``max_pools``. Each
+  pool preallocates a slots x (P + max_new) x kv_heads x head_dim x
+  2(k,v) x layers KV cache in HBM: at 2B bf16 (28 layers, 8 KV heads
+  of 128) one 8-slot pool is 0.47 GB at P=384, 1.06 GB at P=1024 and
+  2.0 GB at P=2048 (+max_new=128 included) — the long buckets serve
+  prompts toward the reference's 5120-token training cap
+  (/root/reference/wedetect_ref/sft_referring.py:321-322) with flash
+  admission (every bucket is a 128 multiple), trading linearly more
+  HBM and a linearly longer prefill per admission (measured:
+  bench.py serve_p1024 row). Images snap to the scorer's
+  grid_buckets and prompts to ``prompt_buckets``, so a deployment
+  that pins one bucket each reuses exactly one compiled engine
+  forever. Idle pools are evicted LRU when the cap is hit; when
+  every resident pool is ACTIVE, admissions for new keys are
   deferred until one goes idle — never allocated past the cap.
 - **No single-exception wedge.** An engine-side raise during a pool's
   pump() fails that pool's in-flight requests with an error (instead
@@ -144,7 +151,7 @@ class GenService:
 
     def __init__(self, scorer, *, slots: int = 8, chunk: int = 8,
                  max_new: int = 128,
-                 prompt_buckets=(256, 384, 512),
+                 prompt_buckets=(256, 384, 512, 1024, 2048),
                  max_pools: int = 2,
                  max_queue: int = 0,
                  eos_token_id: int = 151645,
