@@ -583,7 +583,7 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                 P=384, chunks=(16, 32), int8_prefill=False,
                 int8_decode=False, int4_decode=False,
                 piggyback=False, batch_admit=False, trials=3,
-                tail=17):
+                tail=17, int8_kv=False):
     """Continuous-batching GenServer sustained tok/s: nreq requests x
     `new` tokens through a `slots`-slot server (bf16, 2B), admission +
     prefill included in the wall time. Compare against bench_gen's
@@ -627,7 +627,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                         prompt_len=P, max_new=new, chunk=chunk,
                         eos_id=2, dtype=jnp.bfloat16,
                         decode_params=decode_params,
-                        piggyback=piggyback, batch_admit=batch_admit)
+                        piggyback=piggyback, batch_admit=batch_admit,
+                        kv_bits=8 if int8_kv else 16)
         # warm with slots-many submissions so every ragged length and
         # slot index seen in the timed run is exercised (ADVICE r3)
         fill(srv, slots)
@@ -641,7 +642,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
                              eos_id=2, dtype=jnp.bfloat16,
                              decode_params=decode_params,
                              piggyback=piggyback,
-                             batch_admit=batch_admit)
+                             batch_admit=batch_admit,
+                             kv_bits=8 if int8_kv else 16)
             t0 = time.perf_counter()
             fill(srv2, nreq)
             out = srv2.run(pipeline=pipeline)
@@ -664,9 +666,11 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         steps = srv2.stats["chunks"] * chunk * slots
         # the pool's preallocated KV footprint (the HBM cost a longer
         # prompt bucket buys into — VERDICT r5 #8)
+        import jax
+
         res["kv_gb"] = round(sum(
-            k.size * k.dtype.itemsize + v.size * v.dtype.itemsize
-            for k, v in srv2._state[0]) / 1e9, 3)
+            x.size * x.dtype.itemsize
+            for x in jax.tree.leaves(srv2._state[0])) / 1e9, 3)
         # stats snapshot BEFORE the probes below mutate them
         n_chunks_run = srv2.stats["chunks"]
         n_admit_disp_run = srv2.stats["admits"] - srv2.stats.get(
@@ -697,8 +701,8 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
         for _ in range(4):
             toks, _ = srv2._dispatch_chunk()
         np.asarray(toks)
-        chunk_dev_s = (time.perf_counter() - t0) / 4
-        res[f"chunk{chunk}_chunk_dev_ms"] = round(chunk_dev_s * 1e3, 1)
+        chunk4_s = time.perf_counter() - t0
+        res[f"chunk{chunk}_chunk_dev_ms"] = round(chunk4_s / 4 * 1e3, 1)
         # device-limited ceiling from the timed run's own schedule:
         # the chunks it dispatched at device-only speed, plus its
         # admission prefills. The synced admit probe embeds one
@@ -715,6 +719,11 @@ def bench_serve(nreq=32, slots=8, new=128, cfg=None, gh=40, gw=30,
             dt_f = time.perf_counter() - t0
             floor_s = dt_f if floor_s is None else min(floor_s, dt_f)
         admit_dev_s = max(admit_s - floor_s, admit_s * 0.25)
+        # the 4-chain pays ONE final sync too: subtract one floor
+        # before dividing (at a 30ms dispatch floor the residual
+        # +8ms/chunk was enough to push the ceiling below the
+        # measured rate at P=1024)
+        chunk_dev_s = max((chunk4_s - floor_s) / 4, chunk4_s / 8)
         dev_total_s = (n_chunks_run * chunk_dev_s
                        + n_admit_disp_run * admit_dev_s)
         res[f"chunk{chunk}_ceiling_tok_s"] = round(
@@ -997,6 +1006,17 @@ def main():
         sub["serve2b_p1024_admit_ms"] = r["chunk8_admit_ms"]
         sub["serve2b_p1024_kv_gb"] = r["kv_gb"]
 
+    def row_serve_kv8():
+        # int8 KV cache pool at the long bucket (round-5 addition):
+        # the serve_p1024 workload with the KV stored as int8 codes +
+        # per-(token, head) scales — ~0.52x pool HBM and decode KV
+        # read traffic (models/serve kv_bits=8)
+        r = bench_serve(P=1024, tail=711, nreq=16, chunks=(8,),
+                        trials=2, int8_kv=True)
+        sub["serve2b_p1024_kv8_tok_per_s"] = r["chunk8_tok_s"]
+        sub["serve2b_p1024_kv8_occupancy"] = r["chunk8_occupancy"]
+        sub["serve2b_p1024_kv8_kv_gb"] = r["kv_gb"]
+
     def row_ref2b_int8():
         sub["ref2b_int8_queries_per_s"] = round(
             bench_ref(split=True, quant=True), 2)
@@ -1037,6 +1057,7 @@ def main():
         ("gen", 330, row_gen),
         ("serve", 420, row_serve),
         ("serve_p1024", 300, row_serve_p1024),
+        ("serve_kv8", 280, row_serve_kv8),
         ("ref2b_int8", 260, row_ref2b_int8),
         ("gen_int8", 260, row_gen_int8),
         ("gen_int4", 260, row_gen_int4),

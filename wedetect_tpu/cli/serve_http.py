@@ -87,6 +87,11 @@ def parse_args(argv=None):
     p.add_argument("--f32", dest="bf16", action="store_false")
     p.add_argument("--int8-decode", action="store_true",
                    help="weight-only int8 decode (models/quant)")
+    p.add_argument("--int8-kv", action="store_true",
+                   help="int8 KV cache pools (models/serve kv_bits=8):"
+                        " ~0.52x KV HBM + decode read traffic per "
+                        "pool; lossy like weight-only int8 — gate "
+                        "per deployment")
     p.add_argument("--int4-decode", action="store_true",
                    help="weight-only packed-int4 decode (models/"
                         "quant; lossier — validate per checkpoint)")
@@ -229,7 +234,8 @@ def build_service(args):
                              args.prompt_buckets.split(",")),
         max_pools=args.max_pools, max_queue=args.max_queue,
         temperature=args.temperature,
-        top_k=args.top_k, top_p=args.top_p)
+        top_k=args.top_k, top_p=args.top_p,
+        kv_bits=8 if args.int8_kv else 16)
 
 
 def serve(service, host: str, port: int, timeout: float = 600.0):

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--int4-decode", action="store_true",
                    help="weight-only packed-int4 decode (models/"
                         "quant; lossier — validate per checkpoint)")
+    p.add_argument("--int8-kv", action="store_true",
+                   help="int8 KV cache pool (models/serve kv_bits=8):"
+                        " ~0.52x KV HBM + decode read traffic; lossy "
+                        "like weight-only int8 — gate per deployment")
     p.add_argument("--piggyback", action="store_true",
                    help="ride admission prefills on the decode chunks"
                         " (models/serve chunked prefill)")
@@ -90,7 +94,8 @@ def main(argv=None):
         max_new_tokens=args.max_new_tokens, eos_token_id=eos,
         slots=args.slots, chunk=args.chunk, piggyback=args.piggyback,
         temperature=args.temperature, top_k=args.top_k,
-        top_p=args.top_p, seed=args.seed)
+        top_p=args.top_p, seed=args.seed,
+        kv_bits=8 if args.int8_kv else 16)
     dt = time.perf_counter() - t0
 
     sink = open(args.out, "w") if args.out else sys.stdout

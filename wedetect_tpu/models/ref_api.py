@@ -558,7 +558,8 @@ class RefScorer:
                        slots: int = 8, chunk: int = 16,
                        piggyback: bool = False,
                        temperature: float = 0.0, top_k: int = 0,
-                       top_p: float = 1.0, seed: int = 0):
+                       top_p: float = 1.0, seed: int = 0,
+                       kv_bits: int = 16):
         """Continuous-batching generation over many (image, prompt)
         requests through models/serve.GenServer — the production
         serving surface (the reference's stage-1/2 twin inherits HF
@@ -602,7 +603,7 @@ class RefScorer:
                 dtype=self._jnp_dtype(),
                 decode_params=self._decode_params,
                 piggyback=piggyback, temperature=temperature,
-                top_k=top_k, top_p=top_p)
+                top_k=top_k, top_p=top_p, kv_bits=kv_bits)
             rid_to_idx = {}
             for i in idxs:
                 patches, _, _, ids, mask, pos, _, w, h = prepped[i]

@@ -29,6 +29,18 @@ TPU design (everything static-shaped, two compiled programs total):
 Both programs donate the engine state, so the multi-GB KV cache is
 updated in place instead of being copied every chunk.
 
+``kv_bits=8`` stores the cache as int8 codes + one f32 absmax scale
+per written (token, kv-head) vector — ~0.52x the bf16 pool's HBM
+footprint AND decode-step KV read traffic, which matters exactly
+where the long prompt buckets do (an 8-slot 2B P=2048 pool drops
+2.0 -> ~1.05 GB; at int8 WEIGHTS + P=2048 the KV is ~45% of the
+decode step's HBM bytes). The attention folds the scales EXACTLY
+(``q . (k8 s) == (q . k8) s`` on the logits, ``p . (v8 s) == (p s)
+. v8`` on the output — ``_gqa_int8kv``), so the dots stream pure
+int8 and the only approximation is the 8-bit code itself; it is
+lossy the way weight-only int8 is, opt-in, and gated per deployment
+like int4 weights (cli/quant_gate philosophy).
+
 Greedy by default; ``temperature > 0`` samples (with optional top-k /
 top-p warps) with PER-REQUEST reproducible streams: generated token i
 of a request with seed s is
@@ -132,6 +144,72 @@ def _sample_rows(logits, sampling, seeds, idx):
     return jax.vmap(one)(logits, seeds, idx).astype(jnp.int32)
 
 
+def _kv_quant(x):
+    """Post-rope K or V values -> (int8 codes, per-(..., head) absmax
+    scale): symmetric per-token-per-head int8 over the head_dim axis —
+    the standard KV-cache quantization granularity (one scale per
+    written vector, so quantization is write-local and order-free)."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(
+        jnp.int8)
+    return q8, s
+
+
+def _cache_install(cache, kv, slot):
+    """Install a (1, P, KVH, HD) prefill segment at cache[slot, :P]
+    (both cache representations: bf16/f32 array, or the int8
+    {"q8", "s"} pair — kv_bits=8)."""
+    if isinstance(cache, dict):
+        q8, s = _kv_quant(kv)
+        return {"q8": jax.lax.dynamic_update_slice(
+                    cache["q8"], q8, (slot, 0, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    cache["s"], s.astype(cache["s"].dtype),
+                    (slot, 0, 0))}
+    return jax.lax.dynamic_update_slice(
+        cache, kv.astype(cache.dtype), (slot, 0, 0, 0))
+
+
+def _cache_scatter(cache, rows, cols, kv):
+    """Scatter kv rows at cache[rows, cols] (decode-step single-token
+    writes with per-row columns, or _admit_many's (N, P) segment
+    scatter), for both cache representations."""
+    if isinstance(cache, dict):
+        q8, s = _kv_quant(kv)
+        return {"q8": cache["q8"].at[rows, cols].set(q8),
+                "s": cache["s"].at[rows, cols].set(
+                    s.astype(cache["s"].dtype))}
+    return cache.at[rows, cols].set(kv.astype(cache.dtype))
+
+
+def _gqa_int8kv(q, kc, vc, kv_valid, sm_scale):
+    """Decode attention over the int8 KV cache with EXACT rank-1
+    scale folding: per cached column j,
+    ``q . (k8_j * s_j) == (q . k8_j) * s_j`` (s_j rides the logits)
+    and ``sum_j p_j (v8_j * s_j) == sum_j (p_j s_j) v8_j`` (s_j rides
+    the probabilities) — so the dots stream pure int8 from HBM (the
+    convert fuses into the dot operand read, models/quant docstring)
+    and the only approximation is the 8-bit code itself. Grouped-KV,
+    f32 softmax, -1e9 mask bias — the numerics twin of
+    ops/attention._reference_attention for single-token queries."""
+    b, _, h, d = q.shape
+    kvh = kc["q8"].shape[2]
+    g = h // kvh
+    qg = q[:, 0].reshape(b, kvh, g, d)
+    logits = jnp.einsum("bkgd,bckd->bkgc", qg,
+                        kc["q8"].astype(q.dtype)).astype(jnp.float32)
+    ks = kc["s"].astype(jnp.float32).transpose(0, 2, 1)   # (B, KVH, C)
+    logits = logits * ks[:, :, None, :] * sm_scale
+    mask = kv_valid.astype(bool)[:, None, None, :]
+    logits = logits + jnp.where(mask, 0.0, jnp.float32(-1e9))
+    p = jax.nn.softmax(logits, axis=-1)
+    vs = vc["s"].astype(jnp.float32).transpose(0, 2, 1)
+    p = (p * vs[:, :, None, :]).astype(q.dtype)
+    o = jnp.einsum("bkgc,bckd->bkgd", p, vc["q8"].astype(q.dtype))
+    return o.reshape(b, 1, h, d)
+
+
 def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
                           write_col, kv_valid):
     """One decoder layer, one token per row, PER-ROW cache depth.
@@ -140,7 +218,9 @@ def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
     column is a (B,) vector (each slot is at its own depth) — a
     row-indexed scatter instead of a dynamic_update_slice — and
     kv_valid (B, C) is per-row rather than derived from a shared step
-    counter."""
+    counter. Caches may be int8 {"q8", "s"} pairs (kv_bits=8): writes
+    quantize per token+head, attention folds the scales exactly
+    (_gqa_int8kv)."""
     b = x.shape[0]
     eps = c.rms_eps
     dt = x.dtype
@@ -155,14 +235,16 @@ def _decode_layer_rowwise(p, c, x, cos, sin, cache_k, cache_v,
     v = v.reshape(b, 1, c.kv_heads, c.head_dim)
     q, k = _apply_rope(q, k, cos[:, :, None, :], sin[:, :, None, :])
     rows = jnp.arange(b)
-    cache_k = cache_k.at[rows, write_col].set(
-        k[:, 0].astype(cache_k.dtype))
-    cache_v = cache_v.at[rows, write_col].set(
-        v[:, 0].astype(cache_v.dtype))
-    o = gqa_attention(q, cache_k, cache_v, causal=False,
-                      kv_valid=kv_valid,
-                      sm_scale=1.0 / math.sqrt(c.head_dim),
-                      impl="einsum")
+    cache_k = _cache_scatter(cache_k, rows, write_col, k[:, 0])
+    cache_v = _cache_scatter(cache_v, rows, write_col, v[:, 0])
+    if isinstance(cache_k, dict):
+        o = _gqa_int8kv(q, cache_k, cache_v, kv_valid,
+                        1.0 / math.sqrt(c.head_dim))
+    else:
+        o = gqa_attention(q, cache_k, cache_v, causal=False,
+                          kv_valid=kv_valid,
+                          sm_scale=1.0 / math.sqrt(c.head_dim),
+                          impl="einsum")
     x = x + matmul_any(o.astype(dt).reshape(b, 1, -1), p["o_proj"], dt)
     y = _rms(x, p["post_ln"]["scale"], eps)
     gate = matmul_any(y, p["gate_proj"], dt)
@@ -205,11 +287,8 @@ def _admit(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
 
     new_caches = []
     for (kc, vc), (k, v) in zip(caches, kvs):
-        kc = jax.lax.dynamic_update_slice(
-            kc, k.astype(kc.dtype), (slot, 0, 0, 0))
-        vc = jax.lax.dynamic_update_slice(
-            vc, v.astype(vc.dtype), (slot, 0, 0, 0))
-        new_caches.append((kc, vc))
+        new_caches.append((_cache_install(kc, k, slot),
+                           _cache_install(vc, v, slot)))
     prompt_mask = jax.lax.dynamic_update_slice(
         prompt_mask, attn_mask.astype(jnp.int32), (slot, 0))
     gen_count = gen_count.at[slot].set(0)
@@ -278,9 +357,8 @@ def _admit_many(cfg: RefCfg, grid_h: int, grid_w: int, dtype, params,
     new_caches = []
     for (kc, vc), (k, v) in zip(caches, kvs):
         # k/v: (N, 1, P, KVH, HD) from the vmapped B=1 prefill
-        kc = kc.at[rows, cols].set(k[:, 0].astype(kc.dtype))
-        vc = vc.at[rows, cols].set(v[:, 0].astype(vc.dtype))
-        new_caches.append((kc, vc))
+        new_caches.append((_cache_scatter(kc, rows, cols, k[:, 0]),
+                           _cache_scatter(vc, rows, cols, v[:, 0])))
     prompt_mask = prompt_mask.at[slots].set(
         attn_mask.astype(jnp.int32))
     gen_count = gen_count.at[slots].set(0)
@@ -306,7 +384,9 @@ def _decode_chunk(cfg: RefCfg, chunk: int, eos_id: int, pad_id: int,
         caps = state
     c = cfg.text
     b, p_len = prompt_mask.shape
-    g_cap = caches[0][0].shape[1] - p_len
+    kc0 = caches[0][0]
+    g_cap = (kc0["q8"] if isinstance(kc0, dict) else kc0).shape[1] \
+        - p_len
     params = prepare_decode_params(params)   # int4: unpack to s4 once
     tp = params["text"]
     emb = params["embed"]["embed_tokens"]["embedding"]
@@ -597,6 +677,12 @@ class GenServer:
     vary freely via the mask. ``decode_params`` accepts the
     models/quant weight-only-int8 tree, as in ref_generate.
 
+    ``kv_bits=8`` stores the KV pool as int8 codes + per-(token,
+    head) f32 scales (module docstring): ~0.52x pool HBM and decode
+    KV read traffic, exact scale folding in the attention, lossy only
+    through the 8-bit code. Opt-in; incompatible with piggyback (the
+    ridden prompt rows read the bf16 cache directly).
+
     ``batch_admit=True`` admits shape-compatible waves through ONE
     vmapped prefill (_admit_many) instead of per-request prefills.
     Default OFF: measured on the v5e (PERF.md round-4 serving
@@ -622,8 +708,13 @@ class GenServer:
                  dtype=jnp.float32, decode_params=None,
                  batch_admit: bool = False, piggyback: bool = False,
                  temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0, mesh=None, tp_axis: str = "tp"):
+                 top_p: float = 1.0, mesh=None, tp_axis: str = "tp",
+                 kv_bits: int = 16):
         assert chunk >= 1 and max_new >= 1 and slots >= 1
+        assert kv_bits in (16, 8), kv_bits
+        assert not (piggyback and kv_bits == 8), \
+            "piggyback prefill rides full-precision caches only"
+        self.kv_bits = kv_bits
         self.batch_admit = batch_admit
         self.piggyback = piggyback
         # static sampling triple shared by every compiled program
@@ -649,14 +740,36 @@ class GenServer:
             from jax.sharding import (NamedSharding,
                                       PartitionSpec as Pspec)
             n_tp = mesh.shape[tp_axis]
-            kv_spec = (Pspec(None, None, tp_axis, None)
-                       if c.kv_heads % n_tp == 0 else Pspec())
-            zeros = functools.partial(
-                jnp.zeros, device=NamedSharding(mesh, kv_spec))
+            shardable = c.kv_heads % n_tp == 0
+            kv_spec = (Pspec(None, None, tp_axis, None) if shardable
+                       else Pspec())
+            s_spec = (Pspec(None, None, tp_axis) if shardable
+                      else Pspec())
+
+            def zeros(shape, dt):
+                spec = kv_spec if len(shape) == 4 else s_spec
+                return jnp.zeros(shape, dt,
+                                 device=NamedSharding(mesh, spec))
         else:
             zeros = jnp.zeros
-        caches = tuple((zeros(kv_shape, dtype), zeros(kv_shape, dtype))
-                       for _ in range(c.layers))
+        if kv_bits == 8:
+            # int8 KV pool: int8 codes + per-(slot, col, head) f32
+            # absmax scales — ~0.52x the bf16 pool's HBM (and decode
+            # KV read traffic); quantization happens at each write
+            # (_kv_quant), attention folds the scales exactly
+            # (_gqa_int8kv), so the only loss is the 8-bit code
+            s_shape = (slots, cap, c.kv_heads)
+
+            def one_cache():
+                return {"q8": zeros(kv_shape, jnp.int8),
+                        "s": zeros(s_shape, jnp.float32)}
+
+            caches = tuple((one_cache(), one_cache())
+                           for _ in range(c.layers))
+        else:
+            caches = tuple(
+                (zeros(kv_shape, dtype), zeros(kv_shape, dtype))
+                for _ in range(c.layers))
         self._state = (
             caches,
             jnp.zeros((slots, prompt_len), jnp.int32),

@@ -157,8 +157,9 @@ class GenService:
                  eos_token_id: int = 151645,
                  pad_token_id: int = 151643,
                  temperature: float = 0.0, top_k: int = 0,
-                 top_p: float = 1.0):
+                 top_p: float = 1.0, kv_bits: int = 16):
         self.scorer = scorer
+        self.kv_bits = kv_bits   # 8 = int8 KV pools (models/serve)
         self.slots, self.chunk, self.max_new = slots, chunk, max_new
         self.prompt_buckets = tuple(sorted(prompt_buckets))
         self.max_pools = max_pools
@@ -291,7 +292,8 @@ class GenService:
                 eos_id=self.eos_id, pad_id=self.pad_id,
                 dtype=self.scorer._jnp_dtype(),
                 decode_params=self.scorer._decode_params,
-                temperature=t, top_k=k, top_p=p))
+                temperature=t, top_k=k, top_p=p,
+                kv_bits=self.kv_bits))
             pool.srv.on_tokens = \
                 lambda rid, toks, _pool=pool: self._on_tokens(
                     _pool, rid, toks)
