@@ -59,7 +59,13 @@ def load_reference_standalone():
     import types
 
     if "torchvision" not in sys.modules:
+        import importlib.machinery
+
         tv = types.ModuleType("torchvision")
+        # a real ModuleSpec: transformers probes availability via
+        # importlib.util.find_spec, which raises on __spec__ == None
+        tv.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision", None)
         tv.ops = types.SimpleNamespace(batched_nms=None)
         sys.modules["torchvision"] = tv
     if REFERENCE_DIR not in sys.path:

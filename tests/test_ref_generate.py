@@ -150,12 +150,24 @@ def test_generate_matches_reference_hf():
 
     import transformers  # noqa: F401 — import before stubbing
 
-    if "torchvision" not in sys.modules or not hasattr(
-            sys.modules.get("torchvision", None), "ops"):
-        from test_ref_model import torch_roi_align_stub
+    # an earlier suite file may have stubbed torchvision WITHOUT
+    # roi_align (conftest.load_reference_standalone only provides
+    # ops.batched_nms) — merge, don't trust "has ops" (this exact
+    # hole failed the test in full-suite order while passing solo)
+    from test_ref_model import torch_roi_align_stub
+
+    import importlib.machinery
+
+    tv = sys.modules.get("torchvision")
+    if tv is None or not hasattr(tv, "ops"):
         tv = types.ModuleType("torchvision")
-        tv.ops = types.SimpleNamespace(roi_align=torch_roi_align_stub)
+        tv.ops = types.SimpleNamespace()
         sys.modules["torchvision"] = tv
+    if getattr(tv, "__spec__", None) is None:
+        tv.__spec__ = importlib.machinery.ModuleSpec(
+            "torchvision", None)
+    if not hasattr(tv.ops, "roi_align"):
+        tv.ops.roi_align = torch_roi_align_stub
     spec = importlib.util.spec_from_file_location(
         "_ref_qwen_gen", REFERENCE_DIR
         + "/wedetect_ref/models/qwen3vl_grounding.py")

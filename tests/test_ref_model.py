@@ -43,6 +43,8 @@ def torch_roi_align_stub(feat, boxes, out, scale, **kw):
 
 @pytest.fixture(scope="module")
 def ref_model():
+    import importlib.machinery
+
     if "torchvision" not in sys.modules or not hasattr(
             sys.modules.get("torchvision", None), "ops"):
         tv = types.ModuleType("torchvision")
@@ -50,6 +52,9 @@ def ref_model():
         sys.modules["torchvision"] = tv
     else:
         sys.modules["torchvision"].ops.roi_align = torch_roi_align_stub
+    if getattr(sys.modules["torchvision"], "__spec__", None) is None:
+        sys.modules["torchvision"].__spec__ = \
+            importlib.machinery.ModuleSpec("torchvision", None)
     spec = importlib.util.spec_from_file_location(
         "_ref_qwen", REFERENCE_DIR
         + "/wedetect_ref/models/qwen3vl_referring.py")
